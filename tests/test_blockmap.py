@@ -1,0 +1,220 @@
+"""Unit + property tests for the block-sparse map.
+
+The property tests mirror the reference's own invariant checker
+``debugHash()`` (CUDASceneRepHashSDF.h:129-233): no duplicates, table<->pool
+consistency, pool conservation; plus allocate/lookup/delete behaviour under
+random workloads (including collisions and re-allocation after free).
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from voxelhashing_tpu import blockmap, geometry as geom
+from voxelhashing_tpu.config import MapConfig, CameraConfig
+from voxelhashing_tpu.geometry import INVALID_KEY
+
+
+SMALL = MapConfig(num_blocks=256, table_size=1024, max_probes=16,
+                  max_active_blocks=128, world_blocks=1024)
+
+
+def random_keys(rng, n, lo=-100, hi=100):
+    blocks = rng.integers(lo, hi, size=(n, 3)).astype(np.int32)
+    return np.asarray(geom.pack_block_key(jnp.asarray(blocks), 1024)), blocks
+
+
+def assert_healthy(state, cfg):
+    viol = blockmap.check_invariants(state, cfg)
+    assert all(v == 0 for v in viol.values()), viol
+
+
+class TestAllocateLookup:
+    def test_allocate_then_lookup(self):
+        rng = np.random.default_rng(0)
+        keys, _ = random_keys(rng, 50)
+        state = blockmap.create(SMALL)
+        state, n = blockmap.allocate(state, jnp.asarray(keys), SMALL)
+        n_unique = len(np.unique(keys))
+        assert int(n) == n_unique
+        idx, found = blockmap.lookup(state, jnp.asarray(keys), SMALL)
+        assert bool(jnp.all(found))
+        # each entry resolves to a pool slot holding its key
+        np.testing.assert_array_equal(
+            np.asarray(state.block_key)[np.asarray(idx)], keys)
+        assert_healthy(state, SMALL)
+
+    def test_lookup_missing(self):
+        rng = np.random.default_rng(1)
+        keys, _ = random_keys(rng, 20, lo=-50, hi=0)
+        other, _ = random_keys(rng, 20, lo=1, hi=50)
+        state = blockmap.create(SMALL)
+        state, _ = blockmap.allocate(state, jnp.asarray(keys), SMALL)
+        _, found = blockmap.lookup(state, jnp.asarray(other), SMALL)
+        assert not bool(jnp.any(found))
+
+    def test_allocate_idempotent(self):
+        rng = np.random.default_rng(2)
+        keys, _ = random_keys(rng, 40)
+        state = blockmap.create(SMALL)
+        state, n1 = blockmap.allocate(state, jnp.asarray(keys), SMALL)
+        state, n2 = blockmap.allocate(state, jnp.asarray(keys), SMALL)
+        assert int(n2) == 0
+        assert int(blockmap.stats(state, SMALL)["n_allocated"]) == int(n1)
+        assert_healthy(state, SMALL)
+
+    def test_allocate_with_duplicates_and_invalid(self):
+        keys = jnp.asarray([5, 5, 5, int(INVALID_KEY), 9, 9], jnp.int32)
+        state = blockmap.create(SMALL)
+        state, n = blockmap.allocate(state, keys, SMALL)
+        assert int(n) == 2
+        assert_healthy(state, SMALL)
+
+    def test_pool_exhaustion_drops_excess(self):
+        cfg = dataclasses.replace(SMALL, num_blocks=16, table_size=64)
+        rng = np.random.default_rng(3)
+        keys, _ = random_keys(rng, 200)
+        keys = np.unique(keys)
+        assert len(keys) > 16
+        state = blockmap.create(cfg)
+        state, n = blockmap.allocate(state, jnp.asarray(keys), cfg)
+        assert int(n) == 16
+        st = blockmap.stats(state, cfg)
+        assert int(st["n_allocated"]) == 16
+        assert int(st["n_free"]) == 0
+        assert_healthy(state, cfg)
+
+    def test_incremental_allocation_rounds(self):
+        """Many small allocations accumulate consistently (per-frame use)."""
+        rng = np.random.default_rng(4)
+        state = blockmap.create(SMALL)
+        seen = set()
+        for i in range(8):
+            keys, _ = random_keys(rng, 30, lo=-40, hi=40)
+            state, _ = blockmap.allocate(state, jnp.asarray(keys), SMALL)
+            seen.update(int(k) for k in keys)
+            idx, found = blockmap.lookup(
+                state, jnp.asarray(sorted(seen), jnp.int32), SMALL)
+            assert bool(jnp.all(found))
+        assert int(blockmap.stats(state, SMALL)["n_allocated"]) == len(seen)
+        assert_healthy(state, SMALL)
+
+
+class TestDeleteRehash:
+    def _alloc(self, n=60, seed=5):
+        rng = np.random.default_rng(seed)
+        keys, _ = random_keys(rng, n)
+        keys = np.unique(keys)
+        state = blockmap.create(SMALL)
+        state, _ = blockmap.allocate(state, jnp.asarray(keys), SMALL)
+        return state, keys
+
+    def test_delete_frees_and_tombstones(self):
+        state, keys = self._alloc()
+        idx, found = blockmap.lookup(state, jnp.asarray(keys), SMALL)
+        kill = jnp.arange(len(keys)) % 2 == 0
+        state = blockmap.delete_blocks(state, idx, kill, SMALL)
+        _, found2 = blockmap.lookup(state, jnp.asarray(keys), SMALL)
+        np.testing.assert_array_equal(np.asarray(found2), ~np.asarray(kill))
+        assert int(state.n_tombstones) == int(kill.sum())
+        assert_healthy(state, SMALL)
+
+    def test_delete_zeroes_voxels_and_allows_realloc(self):
+        state, keys = self._alloc()
+        # dirty the allocated blocks' voxels
+        idx, _ = blockmap.lookup(state, jnp.asarray(keys), SMALL)
+        state = state._replace(weight=state.weight.at[idx].add(3.0),
+                               sdf=state.sdf.at[idx].add(0.5))
+        state = blockmap.delete_blocks(
+            state, idx, jnp.ones(len(keys), bool), SMALL)
+        # freed voxels zeroed
+        assert float(state.weight[np.asarray(idx)].sum()) == 0.0
+        # re-allocate the same keys: lands on clean blocks
+        state, n = blockmap.allocate(state, jnp.asarray(keys), SMALL)
+        assert int(n) == len(keys)
+        idx2, found = blockmap.lookup(state, jnp.asarray(keys), SMALL)
+        assert bool(jnp.all(found))
+        assert float(state.weight[np.asarray(idx2)].sum()) == 0.0
+        assert_healthy(state, SMALL)
+
+    def test_lookup_survives_tombstones_in_probe_chain(self):
+        """Deleting a key must not hide other keys probing past its slot."""
+        rng = np.random.default_rng(6)
+        keys, _ = random_keys(rng, 150)   # dense: plenty of probe collisions
+        keys = np.unique(keys)
+        cfg = dataclasses.replace(SMALL, table_size=256, num_blocks=200)
+        state = blockmap.create(cfg)
+        state, _ = blockmap.allocate(state, jnp.asarray(keys), cfg)
+        idx, found = blockmap.lookup(state, jnp.asarray(keys), cfg)
+        keys = keys[np.asarray(found)]   # keep those that fit
+        idx, _ = blockmap.lookup(state, jnp.asarray(keys), cfg)
+        kill = jnp.arange(len(keys)) % 3 == 0
+        state = blockmap.delete_blocks(state, idx, kill, cfg)
+        _, found2 = blockmap.lookup(state, jnp.asarray(keys), cfg)
+        survivors = ~np.asarray(kill)
+        np.testing.assert_array_equal(np.asarray(found2), survivors)
+        assert_healthy(state, cfg)
+
+    def test_rehash_clears_tombstones_preserves_contents(self):
+        state, keys = self._alloc(n=80, seed=7)
+        idx, _ = blockmap.lookup(state, jnp.asarray(keys), SMALL)
+        kill = jnp.arange(len(keys)) % 2 == 0
+        state = blockmap.delete_blocks(state, idx, kill, SMALL)
+        state = blockmap.rehash(state, SMALL)
+        assert int(state.n_tombstones) == 0
+        _, found = blockmap.lookup(state, jnp.asarray(keys), SMALL)
+        np.testing.assert_array_equal(np.asarray(found), ~np.asarray(kill))
+        assert_healthy(state, SMALL)
+
+
+class TestCompactify:
+    def test_compactify_filters_by_frustum(self):
+        cam = CameraConfig()
+        cfg = dataclasses.replace(SMALL, voxel_size=0.05)  # blocks of 0.4m
+        # one block straight ahead (in view), one behind the camera
+        b_in = geom.world_to_block(jnp.asarray([0.0, 0.0, 2.0]), cfg.voxel_size)
+        b_out = geom.world_to_block(jnp.asarray([0.0, 0.0, -2.0]), cfg.voxel_size)
+        keys = geom.pack_block_key(jnp.stack([b_in, b_out]), cfg.world_blocks)
+        state = blockmap.create(cfg)
+        state, _ = blockmap.allocate(state, keys, cfg)
+        view = jnp.eye(4)
+        active_idx, n_active, overflow = blockmap.compactify(
+            state, view, cam, cfg)
+        assert int(n_active) == 1
+        assert int(overflow) == 0
+        key_active = int(state.block_key[active_idx[0]])
+        assert key_active == int(keys[0])
+
+    def test_compactify_all(self):
+        state, keys = TestDeleteRehash()._alloc(n=30, seed=8)
+        idx, n = blockmap.compactify_all(state, SMALL)
+        ks = np.asarray(state.block_key)[np.asarray(idx[:int(n)])]
+        assert set(ks.tolist()) == set(np.asarray(keys).tolist())
+
+
+class TestGatherVoxels:
+    def test_gather_unallocated_is_zero_weight(self):
+        state = blockmap.create(SMALL)
+        vox = jnp.asarray([[3, 4, 5], [-9, 2, 1]], jnp.int32)
+        sdf, w, c = blockmap.gather_voxels(state, vox, SMALL)
+        assert float(jnp.sum(w)) == 0.0
+
+    def test_gather_reads_written_voxel(self):
+        cfg = SMALL
+        block = jnp.asarray([[2, -3, 1]], jnp.int32)
+        key = geom.pack_block_key(block, cfg.world_blocks)
+        state = blockmap.create(cfg)
+        state, _ = blockmap.allocate(state, key, cfg)
+        idx, found = blockmap.lookup(state, key, cfg)
+        assert bool(found[0])
+        # write voxel (local 1,2,3) of that block
+        vox = geom.block_to_voxel(block)[0] + jnp.asarray([1, 2, 3])
+        local = int(geom.voxel_local_index(vox))
+        state = state._replace(
+            sdf=state.sdf.at[idx[0], local].set(0.25),
+            weight=state.weight.at[idx[0], local].set(7.0))
+        sdf, w, _ = blockmap.gather_voxels(state, vox[None], cfg)
+        assert abs(float(sdf[0]) - 0.25) < 1e-6
+        assert float(w[0]) == 7.0

@@ -1,0 +1,150 @@
+"""Tests for DDA allocation and TSDF fusion against analytic ground truth."""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from voxelhashing_tpu import blockmap, geometry as geom, integrate
+from voxelhashing_tpu.config import CameraConfig, MapConfig, SDF_BLOCK_SIZE
+from voxelhashing_tpu.geometry import INVALID_KEY
+from voxelhashing_tpu.io.synthetic import Scene, Sphere, render_depth
+
+CAM = CameraConfig(width=80, height=60, fx=65.0, fy=65.0, cx=39.5, cy=29.5)
+CFG = MapConfig(voxel_size=0.02, num_blocks=4096, table_size=16384,
+                max_active_blocks=4096, world_blocks=1024)
+WALL = Scene(wall_z=2.0, floor_y=None, spheres=())
+
+
+def wall_depth():
+    depth, color = render_depth(np.eye(4, dtype=np.float32), CAM, WALL)
+    return jnp.asarray(depth), jnp.asarray(color)
+
+
+class TestAllocCandidates:
+    def test_candidates_cover_truncation_band(self):
+        depth, _ = wall_depth()
+        pose = jnp.eye(4)
+        keys = integrate.alloc_candidates(depth, pose, CAM, CFG)
+        keys = np.unique(np.asarray(keys))
+        keys = keys[keys != int(INVALID_KEY)]
+        blocks = np.asarray(geom.unpack_block_key(jnp.asarray(keys), 1024))
+        # every voxel centre within the truncation band around the wall must
+        # be inside some allocated block: check centre pixel column of blocks
+        z_lo, z_hi = 2.0 - CFG.truncation_at(2.0), 2.0 + CFG.truncation_at(2.0)
+        bs = CFG.block_size_world
+        z_blocks = set(blocks[(np.abs(blocks[:, 0]) < 2)
+                              & (np.abs(blocks[:, 1]) < 2)][:, 2].tolist())
+        needed = set(range(int(np.floor(z_lo / bs)), int(z_hi / bs) + 1))
+        assert needed <= z_blocks, (needed, z_blocks)
+
+    def test_invalid_depth_produces_no_candidates(self):
+        depth = jnp.full((CAM.height, CAM.width), jnp.nan)
+        keys = integrate.alloc_candidates(depth, jnp.eye(4), CAM, CFG)
+        assert np.all(np.asarray(keys) == int(INVALID_KEY))
+
+    def test_beyond_max_integration_distance_skipped(self):
+        cfg = dataclasses.replace(CFG, max_integration_distance=1.5)
+        depth, _ = wall_depth()   # wall at 2.0 > 1.5
+        keys = integrate.alloc_candidates(depth, jnp.eye(4), CAM, cfg)
+        assert np.all(np.asarray(keys) == int(INVALID_KEY))
+
+
+class TestIntegrate:
+    def _fuse_wall(self, n_frames=1):
+        depth, color = wall_depth()
+        pose = jnp.eye(4)
+        state = blockmap.create(CFG)
+        state, n = integrate.allocate_from_depth(state, depth, pose, CAM, CFG)
+        assert int(n) > 0
+        for _ in range(n_frames):
+            state = integrate.integrate(state, depth, color, pose, CAM, CFG)
+        return state
+
+    def test_tsdf_values_match_wall_distance(self):
+        state = self._fuse_wall()
+        # sample voxels along the central axis around z=2.0
+        z = np.arange(1.95, 2.05, CFG.voxel_size)
+        pts = np.stack([np.zeros_like(z), np.zeros_like(z), z], -1)
+        vox = geom.world_to_voxel(jnp.asarray(pts, jnp.float32),
+                                  CFG.voxel_size)
+        sdf, w, _ = blockmap.gather_voxels(state, vox, CFG)
+        sdf, w = np.asarray(sdf), np.asarray(w)
+        assert np.all(w > 0), "band voxels must be observed"
+        # true sdf = wall_z - voxel_z (positive in front of the wall);
+        # projective TSDF along the optical axis equals the true distance
+        true = 2.0 - np.asarray(geom.voxel_to_world(vox, CFG.voxel_size))[:, 2]
+        np.testing.assert_allclose(sdf, true, atol=CFG.voxel_size * 0.75)
+
+    def test_weights_accumulate_and_clamp(self):
+        state1 = self._fuse_wall(1)
+        state5 = self._fuse_wall(5)
+        idx1, n1 = blockmap.compactify_all(state1, CFG)
+        w1 = np.asarray(state1.weight)[np.asarray(idx1[:int(n1)])]
+        w5 = np.asarray(state5.weight)[np.asarray(idx1[:int(n1)])]
+        observed = w1 > 0
+        assert np.all(w5[observed] >= w1[observed])
+        assert np.all(w5 <= CFG.integration_weight_max)
+        # one frame's sample weight: max(10*1.5*(1-d01), 1) at d=2.0
+        d01 = (2.0 - CAM.depth_min) / (CAM.depth_max - CAM.depth_min)
+        expected = max(10.0 * 1.5 * (1.0 - d01), 1.0)
+        centre_w = w1[observed]
+        # voxels on the optical axis see d≈2.0
+        assert np.isclose(np.max(centre_w), expected, rtol=0.05)
+
+    def test_color_fused(self):
+        state = self._fuse_wall()
+        z = np.asarray([[0.0, 0.0, 2.0]])
+        vox = geom.world_to_voxel(jnp.asarray(z, jnp.float32), CFG.voxel_size)
+        _, w, c = blockmap.gather_voxels(state, vox, CFG)
+        assert float(w[0]) > 0
+        c = np.asarray(c[0]).astype(np.float32) / 255.0
+        # first fusion blends 50/50 with initial black: expect wall_color/2
+        np.testing.assert_allclose(c, np.asarray(WALL.wall_color) / 2.0,
+                                   atol=0.02)
+
+    def test_sdf_converges_with_noise(self):
+        rng_frames = 6
+        state = blockmap.create(CFG)
+        pose = jnp.eye(4)
+        for i in range(rng_frames):
+            depth, color = render_depth(np.eye(4, dtype=np.float32), CAM,
+                                        WALL, noise_sigma=0.004, seed=i)
+            depth, color = jnp.asarray(depth), jnp.asarray(color)
+            state, _ = integrate.allocate_from_depth(state, depth, pose, CAM,
+                                                     CFG)
+            state = integrate.integrate(state, depth, color, pose, CAM, CFG)
+        vox = geom.world_to_voxel(jnp.asarray([[0.0, 0.0, 1.96]], jnp.float32),
+                                  CFG.voxel_size)
+        sdf, w, _ = blockmap.gather_voxels(state, vox, CFG)
+        assert abs(float(sdf[0]) - 0.04) < 0.01
+
+
+class TestGarbageCollect:
+    def test_starve_and_collect_removes_unsupported_blocks(self):
+        state = TestIntegrate()._fuse_wall(1)
+        idx, n = blockmap.compactify_all(state, CFG)
+        n0 = int(n)
+        mask = jnp.arange(idx.shape[0]) < n
+        # starve more times than the max weight so every voxel hits 0
+        for _ in range(20):
+            state = integrate.starve(state, idx, mask)
+        state = integrate.garbage_collect(state, idx, mask, CFG)
+        assert int(blockmap.stats(state, CFG)["n_allocated"]) == 0
+        viol = blockmap.check_invariants(state, CFG)
+        assert all(v == 0 for v in viol.values()), viol
+
+    def test_collect_keeps_supported_blocks(self):
+        state = TestIntegrate()._fuse_wall(3)
+        idx, n = blockmap.compactify_all(state, CFG)
+        mask = jnp.arange(idx.shape[0]) < n
+        n0 = int(blockmap.stats(state, CFG)["n_allocated"])
+        state = integrate.garbage_collect(state, idx, mask, CFG)
+        n1 = int(blockmap.stats(state, CFG)["n_allocated"])
+        # blocks holding the wall surface survive; empty-band blocks may go
+        assert 0 < n1 <= n0
+        # surface voxel still present
+        vox = geom.world_to_voxel(jnp.asarray([[0.0, 0.0, 2.0]], jnp.float32),
+                                  CFG.voxel_size)
+        _, w, _ = blockmap.gather_voxels(state, vox, CFG)
+        assert float(w[0]) > 0

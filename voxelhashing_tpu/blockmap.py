@@ -1,0 +1,391 @@
+"""Sparse TSDF voxel-block map: the TPU-native heart of the engine.
+
+Re-design of the reference's spatially-hashed SDF volume (``HashData``,
+/root/reference/DepthSensingCUDA/Source/VoxelUtilHashSDF.h:93-824) for XLA:
+
+* The bucketed hash with collision linked lists, per-bucket ``atomicExch``
+  mutexes and an atomic free-list heap becomes an **open-addressing hash
+  table over a stable voxel pool**, with allocation performed as a batched,
+  deterministic ``sort -> unique -> probe -> contended-claim`` pipeline
+  (prefix sums + scatters instead of atomics).
+* Deletion (garbage collection) uses tombstones; probe chains are repaired
+  by periodic deterministic rehash (the analog of the reference's
+  linked-list repair in ``deleteHashEntryElement``, :722-809).
+* "Compactify" (the per-frame dense list of in-frustum entries,
+  CUDASceneRepHashSDF.cu:317-359) becomes mask + cumsum + scatter with a
+  static cap, keeping every shape static for jit.
+
+All state lives on device; nothing here ever syncs to host.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import MapConfig, VOXELS_PER_BLOCK, SDF_BLOCK_SIZE
+from . import geometry as geom
+from .geometry import INVALID_KEY
+
+# Table slot sentinels. INVALID_KEY marks an empty slot; TOMBSTONE marks a
+# deleted slot (lookups skip over it, inserts may claim it).
+TOMBSTONE = jnp.int32(0x7FFFFFFE)
+
+
+class MapState(NamedTuple):
+    """Device-resident sparse TSDF map (a pytree of fixed-shape arrays)."""
+
+    table_key: jax.Array   # int32[H]   key at slot (INVALID_KEY / TOMBSTONE)
+    table_val: jax.Array   # int32[H]   pool index at slot
+    block_key: jax.Array   # int32[N]   key per pool slot (INVALID_KEY = free)
+    sdf: jax.Array         # f32[N,512] truncated signed distance
+    weight: jax.Array      # f32[N,512] integration weight (0 = empty voxel)
+    color: jax.Array       # u8[N,512,3]
+    n_tombstones: jax.Array  # int32[]  tombstone count (rehash trigger)
+
+
+def create(cfg: MapConfig) -> MapState:
+    """Fresh empty map (reference: resetHashKernel/resetHeapKernel,
+    CUDASceneRepHashSDF.cu:23-61)."""
+    h, n = cfg.table_size, cfg.num_blocks
+    return MapState(
+        table_key=jnp.full((h,), INVALID_KEY, jnp.int32),
+        table_val=jnp.zeros((h,), jnp.int32),
+        block_key=jnp.full((n,), INVALID_KEY, jnp.int32),
+        sdf=jnp.zeros((n, VOXELS_PER_BLOCK), jnp.float32),
+        weight=jnp.zeros((n, VOXELS_PER_BLOCK), jnp.float32),
+        color=jnp.zeros((n, VOXELS_PER_BLOCK, 3), jnp.uint8),
+        n_tombstones=jnp.int32(0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hashing / probing
+# ---------------------------------------------------------------------------
+
+
+def _mix(x):
+    """32-bit integer finaliser (murmur3-style avalanche)."""
+    x = jnp.asarray(x, jnp.uint32)
+    x ^= x >> 16
+    x *= jnp.uint32(0x7FEB352D)
+    x ^= x >> 15
+    x *= jnp.uint32(0x846CA68B)
+    x ^= x >> 16
+    return x
+
+
+def _probe_slot(key, r, table_size: int):
+    """Slot for probe round r: double hashing on a power-of-two table."""
+    k = jnp.asarray(key, jnp.uint32)
+    h1 = _mix(k)
+    h2 = _mix(k ^ jnp.uint32(0x9E3779B9)) | jnp.uint32(1)  # odd => full cycle
+    return ((h1 + jnp.uint32(r) * h2) & jnp.uint32(table_size - 1)).astype(jnp.int32)
+
+
+def lookup(state: MapState, keys, cfg: MapConfig):
+    """Batch key lookup -> (pool_idx int32, found bool). Not-found idx = 0.
+
+    Replaces the bucket scan + linked-list traversal of
+    ``getHashEntryForSDFBlockPos`` (VoxelUtilHashSDF.h:423-468) with a fixed
+    number of double-hash probe rounds (empty slot terminates the chain;
+    tombstones do not).
+    """
+    keys = jnp.asarray(keys, jnp.int32)
+    found = jnp.zeros(keys.shape, bool)
+    dead = keys == INVALID_KEY      # finished probing (found, or chain ended)
+    idx = jnp.zeros(keys.shape, jnp.int32)
+    for r in range(cfg.max_probes):
+        slots = _probe_slot(keys, r, cfg.table_size)
+        tk = state.table_key[slots]
+        hit = (tk == keys) & ~dead
+        idx = jnp.where(hit, state.table_val[slots], idx)
+        found |= hit
+        dead |= hit | (tk == INVALID_KEY)
+    return idx, found
+
+
+# ---------------------------------------------------------------------------
+# Allocation
+# ---------------------------------------------------------------------------
+
+
+def _unique_mask(sorted_keys):
+    """Mask of first occurrences in a sorted key array."""
+    prev = jnp.concatenate([jnp.array([INVALID_KEY], jnp.int32),
+                            sorted_keys[:-1]])
+    return (sorted_keys != prev) & (sorted_keys != INVALID_KEY)
+
+
+def allocate(state: MapState, candidate_keys, cfg: MapConfig
+             ) -> Tuple[MapState, jax.Array]:
+    """Allocate pool blocks for any candidate keys not yet in the map.
+
+    Deterministic replacement for ``allocBlock``'s bucket-mutex protocol
+    (VoxelUtilHashSDF.h:532-638): sort -> unique -> probe-for-existing ->
+    assign free pool slots by prefix-sum rank -> multi-round contended
+    insertion into the open-addressing table (scatter-min claims).
+
+    Returns (new_state, n_allocated).
+    """
+    keys = jnp.sort(jnp.asarray(candidate_keys, jnp.int32).reshape(-1))
+    is_new = _unique_mask(keys)
+    _, exists = lookup(state, keys, cfg)
+    is_new &= ~exists
+
+    # Rank new keys and pair them with free pool slots.
+    rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1           # [K]
+    free = state.block_key == INVALID_KEY                     # [N]
+    n_free = jnp.sum(free.astype(jnp.int32))
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1        # [N]
+    n_pool = cfg.num_blocks
+    # free_slots[r] = pool index of r-th free slot.
+    free_slots = jnp.zeros((n_pool,), jnp.int32).at[
+        jnp.where(free, free_rank, n_pool)].set(
+        jnp.arange(n_pool, dtype=jnp.int32), mode="drop")
+
+    take = is_new & (rank < n_free)
+    n_alloc = jnp.sum(take.astype(jnp.int32))
+    slot_for_key = free_slots[jnp.clip(rank, 0, n_pool - 1)]  # [K]
+
+    # Claim pool slots.
+    block_key = state.block_key.at[
+        jnp.where(take, slot_for_key, n_pool)].set(keys, mode="drop")
+
+    # Insert (key -> pool slot) into the hash table.
+    table_key, table_val, inserted = _table_insert(
+        state.table_key, state.table_val, keys, slot_for_key, take, cfg)
+
+    # Any key that failed table insertion (probe exhaustion) must release its
+    # pool slot to keep the map consistent.
+    fail = take & ~inserted
+    block_key = block_key.at[
+        jnp.where(fail, slot_for_key, n_pool)].set(INVALID_KEY, mode="drop")
+
+    n_alloc -= jnp.sum(fail.astype(jnp.int32))
+    return state._replace(table_key=table_key, table_val=table_val,
+                          block_key=block_key), n_alloc
+
+
+def _table_insert(table_key, table_val, keys, vals, pending, cfg: MapConfig):
+    """Deterministic contended insertion of unique keys.
+
+    Each round: pending keys probe one slot; keys hitting an empty/tombstone
+    slot contend via scatter-min (lowest key wins — deterministic); winners
+    write, losers and keys hitting occupied slots advance to the next round.
+    """
+    h = cfg.table_size
+    inserted = jnp.zeros(keys.shape, bool)
+    claim_init = jnp.full((h,), INVALID_KEY, jnp.int32)
+    for r in range(cfg.max_probes):
+        slots = _probe_slot(keys, r, cfg.table_size)
+        tk = table_key[slots]
+        empty = (tk == INVALID_KEY) | (tk == TOMBSTONE)
+        contend = pending & empty
+        claim = claim_init.at[jnp.where(contend, slots, h)].min(
+            keys, mode="drop")
+        win = contend & (claim[slots] == keys)
+        table_key = table_key.at[jnp.where(win, slots, h)].set(
+            keys, mode="drop")
+        table_val = table_val.at[jnp.where(win, slots, h)].set(
+            vals, mode="drop")
+        inserted |= win
+        pending &= ~win
+    return table_key, table_val, inserted
+
+
+# ---------------------------------------------------------------------------
+# Compactify (active in-frustum block list)
+# ---------------------------------------------------------------------------
+
+
+def compactify(state: MapState, view_matrix, cam, cfg: MapConfig):
+    """Dense list of allocated, in-frustum pool indices.
+
+    Replaces ``compactifyHashAllInOneKernel`` (CUDASceneRepHashSDF.cu:317-359)
+    with mask + cumsum + scatter at a static cap ``cfg.max_active_blocks``.
+
+    Returns (active_idx int32[M] (padded with 0), n_active, overflow_count).
+    """
+    allocated = state.block_key != INVALID_KEY
+    blocks = geom.unpack_block_key(state.block_key, cfg.world_blocks)
+    in_view = geom.block_in_frustum(blocks, view_matrix, cam, cfg.voxel_size)
+    active = allocated & in_view
+    rank = jnp.cumsum(active.astype(jnp.int32)) - 1
+    m = cfg.max_active_blocks
+    n_active_total = jnp.sum(active.astype(jnp.int32))
+    keep = active & (rank < m)
+    active_idx = jnp.zeros((m,), jnp.int32).at[
+        jnp.where(keep, rank, m)].set(
+        jnp.arange(cfg.num_blocks, dtype=jnp.int32), mode="drop")
+    n_active = jnp.minimum(n_active_total, m)
+    return active_idx, n_active, n_active_total - n_active
+
+
+def compactify_all(state: MapState, cfg: MapConfig):
+    """Dense list of ALL allocated pool indices (for meshing/streaming)."""
+    active = state.block_key != INVALID_KEY
+    rank = jnp.cumsum(active.astype(jnp.int32)) - 1
+    n = cfg.num_blocks
+    active_idx = jnp.zeros((n,), jnp.int32).at[
+        jnp.where(active, rank, n)].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    return active_idx, jnp.sum(active.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# Voxel access helpers (shared by raycast / meshing)
+# ---------------------------------------------------------------------------
+
+
+def gather_voxels(state: MapState, voxel_coords, cfg: MapConfig):
+    """Fetch (sdf, weight, color) for integer voxel coords [...,3].
+
+    The reference's ``getVoxel(world)`` hash lookup per voxel
+    (VoxelUtilHashSDF.h:364-377). Unallocated -> weight 0.
+    """
+    block = geom.voxel_to_block(voxel_coords)
+    key = geom.pack_block_key(block, cfg.world_blocks)
+    pool_idx, found = lookup(state, key, cfg)
+    local = geom.voxel_local_index(voxel_coords)
+    sdf = state.sdf[pool_idx, local]
+    w = state.weight[pool_idx, local]
+    c = state.color[pool_idx, local]
+    w = jnp.where(found, w, 0.0)
+    sdf = jnp.where(found, sdf, 0.0)
+    c = jnp.where(found[..., None], c, 0)
+    return sdf, w, c
+
+
+def delete_blocks(state: MapState, pool_indices, delete_mask,
+                  cfg: MapConfig) -> MapState:
+    """Free the given pool slots and tombstone their table entries.
+
+    Replaces ``deleteHashEntryElement`` + heap append
+    (VoxelUtilHashSDF.h:722-809): voxels are zeroed (the invariant "free
+    slots hold zero voxels" is what allocation relies on), the pool key is
+    cleared, and the table slot becomes a TOMBSTONE counted for rehash.
+    """
+    pool_indices = jnp.asarray(pool_indices, jnp.int32)
+    keys = state.block_key[pool_indices]
+    delete_mask = delete_mask & (keys != INVALID_KEY)
+    n = cfg.num_blocks
+
+    # Find each key's table slot (re-probe) and tombstone it.
+    h = cfg.table_size
+    table_key = state.table_key
+    done = ~delete_mask
+    for r in range(cfg.max_probes):
+        slots = _probe_slot(keys, r, cfg.table_size)
+        hit = (table_key[slots] == keys) & ~done
+        table_key = table_key.at[jnp.where(hit, slots, h)].set(
+            TOMBSTONE, mode="drop")
+        done |= hit
+    n_deleted = jnp.sum(delete_mask.astype(jnp.int32))
+
+    safe_idx = jnp.where(delete_mask, pool_indices, n)
+    block_key = state.block_key.at[safe_idx].set(INVALID_KEY, mode="drop")
+    zero_v = jnp.zeros((VOXELS_PER_BLOCK,), jnp.float32)
+    sdf = state.sdf.at[safe_idx].set(zero_v, mode="drop")
+    weight = state.weight.at[safe_idx].set(zero_v, mode="drop")
+    color = state.color.at[safe_idx].set(
+        jnp.zeros((VOXELS_PER_BLOCK, 3), jnp.uint8), mode="drop")
+    return state._replace(table_key=table_key, table_val=state.table_val,
+                          block_key=block_key, sdf=sdf, weight=weight,
+                          color=color,
+                          n_tombstones=state.n_tombstones + n_deleted)
+
+
+def rehash(state: MapState, cfg: MapConfig) -> MapState:
+    """Rebuild the hash table from the pool (clears tombstones).
+
+    Deterministic full re-insert; the analog of the reference's linked-list
+    repair, amortised. Cheap relative to a frame (one sort-free insert pass
+    over N keys).
+    """
+    table_key = jnp.full((cfg.table_size,), INVALID_KEY, jnp.int32)
+    table_val = jnp.zeros((cfg.table_size,), jnp.int32)
+    keys = state.block_key
+    pending = keys != INVALID_KEY
+    vals = jnp.arange(cfg.num_blocks, dtype=jnp.int32)
+    table_key, table_val, inserted = _table_insert(
+        table_key, table_val, keys, vals, pending, cfg)
+    # Keys that fail re-insertion would be unreachable; drop them from the
+    # pool to preserve the table<->pool bijection invariant.
+    lost = pending & ~inserted
+    n = cfg.num_blocks
+    block_key = keys.at[jnp.where(lost, vals, n)].set(INVALID_KEY, mode="drop")
+    return state._replace(table_key=table_key, table_val=table_val,
+                          block_key=block_key,
+                          n_tombstones=jnp.int32(0))
+
+
+def maybe_rehash(state: MapState, cfg: MapConfig) -> MapState:
+    """Rehash when tombstones exceed 1/8 of the table (jit-safe cond)."""
+    return jax.lax.cond(
+        state.n_tombstones > cfg.table_size // 8,
+        lambda s: rehash(s, cfg),
+        lambda s: s,
+        state)
+
+
+# ---------------------------------------------------------------------------
+# Introspection (debugHash analog)
+# ---------------------------------------------------------------------------
+
+
+def stats(state: MapState, cfg: MapConfig) -> dict:
+    """Occupancy statistics (heap-free watermark analog,
+    DepthSensing.cpp:731-735)."""
+    allocated = state.block_key != INVALID_KEY
+    return {
+        "n_allocated": jnp.sum(allocated.astype(jnp.int32)),
+        "n_free": jnp.sum((~allocated).astype(jnp.int32)),
+        "n_table_used": jnp.sum(
+            ((state.table_key != INVALID_KEY)
+             & (state.table_key != TOMBSTONE)).astype(jnp.int32)),
+        "n_tombstones": state.n_tombstones,
+    }
+
+
+def check_invariants(state: MapState, cfg: MapConfig) -> dict:
+    """Host-side invariant checker mirroring ``debugHash``
+    (CUDASceneRepHashSDF.h:129-233). Returns a dict of violation counts
+    (all zero = healthy). Not jit-compiled; for tests and diagnostics.
+    """
+    import numpy as np
+
+    table_key = np.asarray(state.table_key)
+    table_val = np.asarray(state.table_val)
+    block_key = np.asarray(state.block_key)
+    inv_key = int(INVALID_KEY)
+    tomb = int(TOMBSTONE)
+
+    live = (table_key != inv_key) & (table_key != tomb)
+    live_vals = table_val[live]
+    live_keys = table_key[live]
+
+    # 1. No duplicate pool pointers in the table ("duplicate detection").
+    dup_vals = len(live_vals) - len(np.unique(live_vals))
+    # 2. No duplicate keys in the table.
+    dup_keys = len(live_keys) - len(np.unique(live_keys))
+    # 3. Every table entry points at a pool slot holding the same key
+    #    ("HEAP CORRUPTED" cross-check).
+    mismatch = int(np.sum(block_key[live_vals] != live_keys))
+    # 4. Pool partition: every allocated pool slot is reachable from the
+    #    table ("memory leak detected").
+    allocated = np.flatnonzero(block_key != inv_key)
+    unreachable = int(len(np.setdiff1d(allocated, live_vals)))
+    # 5. Free slots hold zero voxels (allocation precondition).
+    free = block_key == inv_key
+    nonzero_free = int(np.sum(np.asarray(state.weight)[free].sum(axis=-1) > 0))
+
+    return {
+        "duplicate_table_vals": dup_vals,
+        "duplicate_table_keys": dup_keys,
+        "table_pool_mismatch": mismatch,
+        "unreachable_blocks": unreachable,
+        "nonzero_free_voxels": nonzero_free,
+    }

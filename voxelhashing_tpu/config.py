@@ -1,0 +1,364 @@
+"""Configuration tree for the TPU-native voxel-hashing SLAM engine.
+
+Mirrors the semantics of the reference's X-macro config singletons
+(``GlobalAppState.h:28-131``, ``GlobalCameraTrackingState.h:13-25`` in
+/root/reference/DepthSensingCUDA/Source) and the ``zParameters*.txt`` key=value
+files, but as plain Python dataclasses: everything is a runtime value (no
+compile-time #defines), and derived parameters are computed by constructors
+the way ``DepthSensing.cpp:1340-1355`` / ``CUDARayCastSDF.h:32-34`` derive
+theirs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import re
+from typing import List, Optional, Tuple
+
+# Fixed structural constants (the reference pound-defines these:
+# VoxelUtilHashSDF.h:40-41). Block size stays 8 -- 512 voxels per block maps
+# onto one (8, 64) f32 VMEM tile on TPU.
+SDF_BLOCK_SIZE = 8
+VOXELS_PER_BLOCK = SDF_BLOCK_SIZE ** 3
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole intrinsics at the working (adapter) resolution.
+
+    The reference rescales raw sensor intrinsics to the adapter resolution in
+    ``CUDARGBDAdapter.cpp:53-66``; use :meth:`scaled` for the same rule.
+    """
+
+    width: int = 320
+    height: int = 240
+    fx: float = 262.65  # 525.0 * 320/640 (TUM-style defaults, rescaled)
+    fy: float = 262.65
+    cx: float = 159.75
+    cy: float = 119.75
+    depth_min: float = 0.5   # s_sensorDepthMin (zParametersDefault.txt:24)
+    depth_max: float = 5.0   # s_sensorDepthMax (zParametersDefault.txt:23)
+
+    def scaled(self, new_width: int, new_height: int) -> "CameraConfig":
+        """Rescale intrinsics to a new resolution (CUDARGBDAdapter.cpp:53-66).
+
+        The reference scales focal lengths and principal point by the
+        resolution ratio (principal point via the (c+0.5)*s-0.5 pixel-center
+        rule).
+        """
+        sx = new_width / self.width
+        sy = new_height / self.height
+        return dataclasses.replace(
+            self,
+            width=new_width,
+            height=new_height,
+            fx=self.fx * sx,
+            fy=self.fy * sy,
+            cx=(self.cx + 0.5) * sx - 0.5,
+            cy=(self.cy + 0.5) * sy - 0.5,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class MapConfig:
+    """Sparse TSDF voxel-block map parameters.
+
+    Mirrors ``HashParams`` (CUDAHashParams.h:11-39) and the hash/SDF block of
+    ``zParametersDefault.txt:33-41``, reshaped for the sorted/hashed
+    block-sparse TPU layout.
+    """
+
+    voxel_size: float = 0.004        # s_SDFVoxelSize
+    truncation: float = 0.02         # s_SDFTruncation
+    truncation_scale: float = 0.01   # s_SDFTruncationScale (m per m depth)
+    max_integration_distance: float = 4.0  # s_SDFMaxIntegrationDistance
+    integration_weight_sample: float = 10.0  # s_SDFIntegrationWeightSample
+    integration_weight_max: float = 255.0    # s_SDFIntegrationWeightMax
+
+    # Pool capacity: number of voxel blocks (s_hashNumSDFBlocks).
+    num_blocks: int = 1 << 17
+    # Open-addressing hash table slots; must be a power of two and should be
+    # >= 2x num_blocks to keep probe counts low (replaces 500k buckets x 10).
+    table_size: int = 1 << 19
+    # Max probe rounds for insertion/lookup (replaces bucket scan + collision
+    # linked lists, VoxelUtilHashSDF.h:423-468).
+    max_probes: int = 16
+    # Active-set cap: max blocks in camera frustum handled per frame
+    # (the reference reads this count back per frame; we keep it static).
+    max_active_blocks: int = 1 << 15
+    # Per-pixel cap on DDA steps through block space during allocation
+    # (the truncation band usually spans <= 4 blocks; reference caps the whole
+    # ray walk at 1024 iters, CUDASceneRepHashSDF.cu:221).
+    alloc_steps: int = 8
+    # World extent: block coords live in [-world_blocks/2, world_blocks/2).
+    # 1024^3 block keys pack into one int32 (30 bits).
+    world_blocks: int = 1024
+
+    # Garbage collection (CUDASceneRepHashSDF.h:327-333).
+    gc_starve_interval: int = 15  # s_garbageCollectionStarve
+    gc_enabled: bool = True
+
+    @property
+    def block_size_world(self) -> float:
+        return self.voxel_size * SDF_BLOCK_SIZE
+
+    def truncation_at(self, z) -> float:
+        """Linear truncation model (VoxelUtilHashSDF.h:254-257)."""
+        return self.truncation + self.truncation_scale * z
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    """Multi-resolution projective-ICP parameters.
+
+    Mirrors ``GlobalCameraTrackingState`` defaults and
+    ``zParametersTrackingDefault.txt:1-37``.
+    """
+
+    levels: int = 3
+    max_outer_iter: Tuple[int, ...] = (8, 6, 4)       # fine -> coarse
+    max_inner_iter: Tuple[int, ...] = (1, 1, 1)
+    dist_thres: Tuple[float, ...] = (0.15, 0.15, 0.15)
+    normal_thres: Tuple[float, ...] = (0.97, 0.97, 0.97)
+    angle_trans_thres: Tuple[float, ...] = (1.0, 1.0, 1.0)   # radians
+    dist_trans_thres: Tuple[float, ...] = (1.0, 1.0, 1.0)    # meters
+    residual_early_out: Tuple[float, ...] = (0.01, 0.01, 0.01)
+    cond_thres: float = 100.0   # s_ICPCondThres (GlobalAppState)
+    angle_thres: float = math.pi / 3.0  # s_ICPAngleThres
+
+
+@dataclasses.dataclass(frozen=True)
+class RaycastConfig:
+    """Raycast parameters (CUDARayCastParams.h:8-29, CUDARayCastSDF.h:24-40)."""
+
+    ray_increment_factor: float = 0.8    # s_SDFRayIncrementFactor
+    thres_sample_dist_factor: float = 50.5  # s_SDFRayThresSampleDistFactor
+    thres_dist_factor: float = 50.0      # s_SDFRayThresDistFactor
+    use_gradients: bool = False          # s_SDFUseGradients
+    max_steps: int = 320                 # static cap on march steps
+    splat_enabled: bool = True           # per-tile depth bounds from blocks
+    splat_tile: int = 16                 # screen tile size for min/max bounds
+
+    def derived(self, map_cfg: MapConfig):
+        ray_increment = self.ray_increment_factor * map_cfg.truncation
+        return {
+            "ray_increment": ray_increment,
+            "thres_sample_dist": self.thres_sample_dist_factor * ray_increment,
+            "thres_dist": self.thres_dist_factor * ray_increment,
+        }
+
+
+@dataclasses.dataclass(frozen=True)
+class FilterConfig:
+    """Depth/color prefiltering (zParametersDefault.txt:55-62)."""
+
+    depth_sigma_d: float = 2.0
+    depth_sigma_r: float = 0.1
+    depth_filter: bool = True
+    color_sigma_d: float = 2.0
+    color_sigma_r: float = 0.1
+    color_filter: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamingConfig:
+    """HBM<->host-DRAM block tiering (replaces CUDASceneRepChunkGrid).
+
+    Semantics preserved from the reference (zParametersDefault.txt:94-101):
+    an active sphere around the camera, a coarse chunk grid on the host, a
+    bitmask preventing reallocation of streamed-out space, fractional
+    sweeps out and bounded chunks in per frame.
+    """
+
+    enabled: bool = False
+    chunk_size: float = 1.0       # s_streamingVoxelExtents (1 m^3 chunks)
+    grid_dim: int = 257           # s_streamingGridDimensions
+    radius: float = 4.0           # derived streaming sphere radius
+    out_parts: int = 80           # s_streamingOutParts: sweep 1/N per frame
+    in_chunks_per_frame: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Marching cubes (zParametersDefault.txt:26,91)."""
+
+    max_triangles: int = 2_500_000
+    thresh_factor: float = 10.0   # s_SDFMarchingCubeThreshFactor
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Top-level configuration (the GlobalAppState analog)."""
+
+    camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
+    map: MapConfig = dataclasses.field(default_factory=MapConfig)
+    tracker: TrackerConfig = dataclasses.field(default_factory=TrackerConfig)
+    raycast: RaycastConfig = dataclasses.field(default_factory=RaycastConfig)
+    filter: FilterConfig = dataclasses.field(default_factory=FilterConfig)
+    streaming: StreamingConfig = dataclasses.field(default_factory=StreamingConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    # Offline mode (s_offlineProcessing): deterministic replay semantics.
+    offline: bool = True
+    # Use ground-truth trajectory only to initialise ICP
+    # (s_binaryDumpSensorUseTrajectoryOnlyInit, zParametersDefault.txt:50-51).
+    use_trajectory: bool = False
+    use_trajectory_only_init: bool = False
+
+
+_KV_RE = re.compile(
+    r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?:\[(\d+)\])?\s*=\s*(.*?)\s*;?\s*(?://.*)?$"
+)
+
+
+def parse_parameter_file(text: str) -> dict:
+    """Parse a reference-style ``key = value;`` parameter file.
+
+    Same grammar as mLib's ParameterFile consumed by GlobalAppState::readMembers:
+    one ``key = value;`` per line, ``//`` comments, optional ``[i]`` vector
+    indices, trailing f suffixes on floats, quoted strings, booleans.
+    Returns a flat dict; vector keys become lists.
+    """
+    out: dict = {}
+    for line in text.splitlines():
+        line = line.split("//", 1)[0].strip()
+        if not line:
+            continue
+        m = _KV_RE.match(line)
+        if not m:
+            continue
+        key, idx, raw = m.group(1), m.group(2), m.group(3).rstrip(";").strip()
+        val = _parse_value(raw)
+        if idx is None:
+            out[key] = val
+        else:
+            lst = out.setdefault(key, [])
+            i = int(idx)
+            while len(lst) <= i:
+                lst.append(None)
+            lst[i] = val
+    return out
+
+
+def _parse_value(raw: str):
+    if raw.startswith('"') and raw.endswith('"'):
+        return raw[1:-1]
+    low = raw.lower()
+    if low == "true":
+        return True
+    if low == "false":
+        return False
+    raw = raw.rstrip("fF") if re.match(r"^-?[\d.]+([eE][-+]?\d+)?[fF]$", raw) else raw
+    try:
+        if re.match(r"^-?\d+$", raw):
+            return int(raw)
+        return float(raw)
+    except ValueError:
+        return raw
+
+
+def engine_config_from_parameters(params: dict,
+                                  base: Optional[EngineConfig] = None) -> EngineConfig:
+    """Build an EngineConfig from parsed reference-style parameters.
+
+    Applies the same key semantics as GlobalAppState/GlobalCameraTrackingState
+    (warn-and-default on missing keys -> here: just default).
+    """
+    cfg = base or EngineConfig()
+    cam = cfg.camera
+    if "s_adapterWidth" in params or "s_adapterHeight" in params:
+        cam = dataclasses.replace(
+            cam,
+            width=int(params.get("s_adapterWidth", cam.width)),
+            height=int(params.get("s_adapterHeight", cam.height)),
+        )
+    cam = dataclasses.replace(
+        cam,
+        depth_min=float(params.get("s_sensorDepthMin", cam.depth_min)),
+        depth_max=float(params.get("s_sensorDepthMax", cam.depth_max)),
+    )
+    mp = dataclasses.replace(
+        cfg.map,
+        voxel_size=float(params.get("s_SDFVoxelSize", cfg.map.voxel_size)),
+        truncation=float(params.get("s_SDFTruncation", cfg.map.truncation)),
+        truncation_scale=float(
+            params.get("s_SDFTruncationScale", cfg.map.truncation_scale)),
+        max_integration_distance=float(
+            params.get("s_SDFMaxIntegrationDistance",
+                       cfg.map.max_integration_distance)),
+        integration_weight_sample=float(
+            params.get("s_SDFIntegrationWeightSample",
+                       cfg.map.integration_weight_sample)),
+        integration_weight_max=float(
+            params.get("s_SDFIntegrationWeightMax",
+                       cfg.map.integration_weight_max)),
+    )
+    rc = dataclasses.replace(
+        cfg.raycast,
+        ray_increment_factor=float(
+            params.get("s_SDFRayIncrementFactor",
+                       cfg.raycast.ray_increment_factor)),
+        thres_sample_dist_factor=float(
+            params.get("s_SDFRayThresSampleDistFactor",
+                       cfg.raycast.thres_sample_dist_factor)),
+        thres_dist_factor=float(
+            params.get("s_SDFRayThresDistFactor",
+                       cfg.raycast.thres_dist_factor)),
+        use_gradients=bool(params.get("s_SDFUseGradients",
+                                      cfg.raycast.use_gradients)),
+    )
+    flt = dataclasses.replace(
+        cfg.filter,
+        depth_sigma_d=float(params.get("s_depthSigmaD", cfg.filter.depth_sigma_d)),
+        depth_sigma_r=float(params.get("s_depthSigmaR", cfg.filter.depth_sigma_r)),
+        depth_filter=bool(params.get("s_depthFilter", cfg.filter.depth_filter)),
+        color_sigma_d=float(params.get("s_colorSigmaD", cfg.filter.color_sigma_d)),
+        color_sigma_r=float(params.get("s_colorSigmaR", cfg.filter.color_sigma_r)),
+        color_filter=bool(params.get("s_colorFilter", cfg.filter.color_filter)),
+    )
+    tk = cfg.tracker
+    if "s_maxLevels" in params:
+        n = int(params["s_maxLevels"])
+
+        def vec(key, default):
+            v = params.get(key)
+            if v is None:
+                return tuple(default[:n]) if len(default) >= n else tuple(
+                    list(default) + [default[-1]] * (n - len(default)))
+            v = v[:n]
+            return tuple(x if x is not None else default[min(i, len(default) - 1)]
+                         for i, x in enumerate(v))
+
+        tk = dataclasses.replace(
+            tk,
+            levels=n,
+            max_outer_iter=tuple(int(x) for x in vec("s_maxOuterIter", tk.max_outer_iter)),
+            max_inner_iter=tuple(int(x) for x in vec("s_maxInnerIter", tk.max_inner_iter)),
+            dist_thres=vec("s_distThres", tk.dist_thres),
+            normal_thres=vec("s_normalThres", tk.normal_thres),
+            angle_trans_thres=vec("s_angleTransThres", tk.angle_trans_thres),
+            dist_trans_thres=vec("s_distTransThres", tk.dist_trans_thres),
+            residual_early_out=vec("s_residualEarlyOut", tk.residual_early_out),
+        )
+    mesh = dataclasses.replace(
+        cfg.mesh,
+        max_triangles=int(params.get("s_marchingCubesMaxNumTriangles",
+                                     cfg.mesh.max_triangles)),
+        thresh_factor=float(params.get("s_SDFMarchingCubeThreshFactor",
+                                       cfg.mesh.thresh_factor)),
+    )
+    streaming = dataclasses.replace(
+        cfg.streaming,
+        enabled=bool(params.get("s_streamingEnabled", cfg.streaming.enabled)),
+        out_parts=int(params.get("s_streamingOutParts", cfg.streaming.out_parts)),
+    )
+    return dataclasses.replace(
+        cfg, camera=cam, map=mp, tracker=tk, raycast=rc, filter=flt,
+        mesh=mesh, streaming=streaming,
+        offline=bool(params.get("s_offlineProcessing", cfg.offline)),
+        use_trajectory=bool(params.get("s_binaryDumpSensorUseTrajectory",
+                                       cfg.use_trajectory)),
+        use_trajectory_only_init=bool(
+            params.get("s_binaryDumpSensorUseTrajectoryOnlyInit",
+                       cfg.use_trajectory_only_init)),
+    )

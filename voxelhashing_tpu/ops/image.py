@@ -1,0 +1,196 @@
+"""Image-space preprocessing ops (the CameraUtil.cu equivalents).
+
+JAX re-derivations of the ~30 CUDA image kernels in
+/root/reference/DepthSensingCUDA/Source/CameraUtil.cu used by the input
+pipeline (CUDARGBDSensor.cpp:147-256): bilateral/gauss depth filtering,
+intensity conversion, camera-space position maps, normal maps, and
+2x pyramid resampling. All ops are static-shape, jit-safe, and expressed as
+stacked shifted views (XLA fuses them into a single VPU pass) rather than
+scalar loops.
+
+Invalid pixels are NaN (the reference uses MINF).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import CameraConfig, FilterConfig
+from .. import geometry as geom
+
+
+def _shifted(img, dy: int, dx: int):
+    """img shifted by (dy,dx) with NaN padding; shape-preserving."""
+    pad_y = (max(dy, 0), max(-dy, 0))
+    pad_x = (max(dx, 0), max(-dx, 0))
+    padding = (pad_y, pad_x) + ((0, 0),) * (img.ndim - 2)
+    p = jnp.pad(img, padding, constant_values=jnp.nan)
+    h, w = img.shape[:2]
+    return p[pad_y[1]:pad_y[1] + h, pad_x[1]:pad_x[1] + w]
+
+
+def bilateral_filter_depth(depth, sigma_d: float, sigma_r: float):
+    """Edge-preserving depth smoothing.
+
+    bilateralFilterFloatMapDevice (CameraUtil.cu:446-484): window radius
+    ceil(2*sigma_d), weight = gaussD(sigma_d, dx, dy) * gaussR(sigma_r,
+    d - d_center); invalid neighbours skipped; centre must be valid.
+    """
+    radius = int(math.ceil(2.0 * sigma_d))
+    valid_c = jnp.isfinite(depth)
+    acc = jnp.zeros_like(depth)
+    wsum = jnp.zeros_like(depth)
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            nb = _shifted(depth, dy, dx)
+            ok = jnp.isfinite(nb)
+            diff = jnp.where(ok, nb - depth, 0.0)
+            w = math.exp(-(dx * dx + dy * dy) / (2.0 * sigma_d * sigma_d)) \
+                * jnp.exp(-(diff * diff) / (2.0 * sigma_r * sigma_r))
+            w = jnp.where(ok, w, 0.0)
+            acc += w * jnp.where(ok, nb, 0.0)
+            wsum += w
+    out = jnp.where((wsum > 0.0) & valid_c, acc / jnp.maximum(wsum, 1e-20),
+                    jnp.nan)
+    return out
+
+
+def gauss_filter_depth(depth, sigma_d: float, sigma_r: float):
+    """Gaussian depth smoothing with range gate |d-dc| < sigma_r
+    (gaussFilterFloatMapDevice, CameraUtil.cu:555-600)."""
+    radius = int(math.ceil(2.0 * sigma_d))
+    valid_c = jnp.isfinite(depth)
+    acc = jnp.zeros_like(depth)
+    wsum = jnp.zeros_like(depth)
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            nb = _shifted(depth, dy, dx)
+            ok = jnp.isfinite(nb) & (jnp.abs(nb - depth) < sigma_r)
+            w = jnp.where(
+                ok, math.exp(-(dx * dx + dy * dy) / (2.0 * sigma_d * sigma_d)),
+                0.0)
+            acc += w * jnp.where(ok, nb, 0.0)
+            wsum += w
+    return jnp.where((wsum > 0.0) & valid_c, acc / jnp.maximum(wsum, 1e-20),
+                     jnp.nan)
+
+
+def color_to_intensity(color):
+    """RGB [h,w,3] (0..1) -> luma intensity [h,w]
+    (convertColorToIntensityFloat, standard BT.601 weights)."""
+    return (0.299 * color[..., 0] + 0.587 * color[..., 1]
+            + 0.114 * color[..., 2])
+
+
+def resample_half(img):
+    """2x downsample by even-pixel decimation for pyramid levels.
+
+    The tracker's resampleFloat4Map with out = in/2 evaluates the bilinear
+    interpolator exactly at even source pixels (scale = (w-1)/(w/2-1) applied
+    at integer x maps within half a pixel of 2x; the reference's
+    nearest-valid bilinear then degenerates to a near-point sample). We use
+    strict even-pixel decimation: identical validity semantics, deterministic.
+    """
+    return img[::2, ::2]
+
+
+def erode_depth(depth, radius: int = 2, thresh: float = 0.1,
+                frac_req: float = 0.5):
+    """Invalidate depth pixels whose neighbourhood disagrees
+    (erodeDepthMapDevice: a pixel dies if more than ``frac_req`` of its
+    window differs by > thresh or is invalid)."""
+    count_bad = jnp.zeros_like(depth)
+    count_all = 0.0
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            nb = _shifted(depth, dy, dx)
+            bad = ~jnp.isfinite(nb) | (jnp.abs(nb - depth) > thresh)
+            count_bad += bad.astype(depth.dtype)
+            count_all += 1.0
+    keep = count_bad < frac_req * count_all
+    return jnp.where(keep & jnp.isfinite(depth), depth, jnp.nan)
+
+
+def depth_to_hsv(depth, d_min: float, d_max: float):
+    """Depth visualisation (convertDepthToHSV equivalent): map depth in
+    [d_min,d_max] to HSV hue ramp, invalid -> black. Returns RGB [h,w,3]."""
+    t = jnp.clip((depth - d_min) / (d_max - d_min), 0.0, 1.0)
+    h = (1.0 - t) * 240.0 / 60.0  # blue (far=0? reference: near=blue ramp)
+    i = jnp.floor(h)
+    f = h - i
+    p, q = jnp.zeros_like(f), 1.0 - f
+    vals = jnp.stack([
+        jnp.stack([jnp.ones_like(f), f, p], -1),
+        jnp.stack([q, jnp.ones_like(f), p], -1),
+        jnp.stack([p, jnp.ones_like(f), f], -1),
+        jnp.stack([p, q, jnp.ones_like(f)], -1),
+        jnp.stack([f, p, jnp.ones_like(f)], -1),
+    ])
+    idx = jnp.clip(i.astype(jnp.int32), 0, 4)
+    rgb = jnp.take_along_axis(
+        vals, idx[None, ..., None], axis=0)[0]
+    return jnp.where(jnp.isfinite(depth)[..., None], rgb, 0.0)
+
+
+class FrameInputs:
+    """Preprocessed per-frame GPU inputs (CUDARGBDSensor outputs).
+
+    Attributes mirror what the reference hands to tracking/integration:
+    filtered depth, camera-space position map, normal map, color, intensity.
+    """
+
+    __slots__ = ("depth", "points", "normals", "color", "intensity")
+
+    def __init__(self, depth, points, normals, color, intensity):
+        self.depth = depth
+        self.points = points
+        self.normals = normals
+        self.color = color
+        self.intensity = intensity
+
+    def tree_flatten(self):
+        return ((self.depth, self.points, self.normals, self.color,
+                 self.intensity), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node(
+    FrameInputs, FrameInputs.tree_flatten, FrameInputs.tree_unflatten)
+
+
+def preprocess(depth_raw, color_raw, cam: CameraConfig, flt: FilterConfig
+               ) -> FrameInputs:
+    """Full input preprocessing (CUDARGBDSensor::process,
+    CUDARGBDSensor.cpp:147-256): optional bilateral depth filter, optional
+    color filter, intensity, camera-space position map, input normal map.
+
+    depth_raw: [h,w] float32 metres, NaN/<=0 invalid.
+    color_raw: [h,w,3] float32 in [0,1], or None.
+    """
+    depth = jnp.where(
+        jnp.isfinite(depth_raw)
+        & (depth_raw >= cam.depth_min) & (depth_raw <= cam.depth_max),
+        depth_raw, jnp.nan)
+    if flt.depth_filter:
+        depth = bilateral_filter_depth(depth, flt.depth_sigma_d,
+                                       flt.depth_sigma_r)
+    color = color_raw
+    intensity = None
+    if color_raw is not None:
+        if flt.color_filter:
+            color = jnp.stack(
+                [gauss_filter_depth(color_raw[..., i], flt.color_sigma_d,
+                                    flt.color_sigma_r)
+                 for i in range(3)], axis=-1)
+        intensity = color_to_intensity(color)
+    points = geom.depth_to_points(depth, cam)
+    normals = geom.normals_from_points(points)
+    return FrameInputs(depth=depth, points=points, normals=normals,
+                       color=color, intensity=intensity)
