@@ -31,19 +31,42 @@ from .geometry import INVALID_KEY
 
 # Table slot sentinels. INVALID_KEY marks an empty slot; TOMBSTONE marks a
 # deleted slot (lookups skip over it, inserts may claim it).
-TOMBSTONE = jnp.int32(0x7FFFFFFE)
+TOMBSTONE = 0x7FFFFFFE  # Python int: a module-level jnp scalar would be a
+# captured device constant in every jit program (pathological on TPU runtimes)
 
 
 class MapState(NamedTuple):
-    """Device-resident sparse TSDF map (a pytree of fixed-shape arrays)."""
+    """Device-resident sparse TSDF map (a pytree of fixed-shape arrays).
+
+    TPU layout notes: every per-voxel array is [N, 512] with the 512-voxel
+    block as the minor axis (one (8,128)/(8,64) VMEM tile per block); colors
+    are bit-packed 0x00RRGGBB into one uint32 so a voxel fetch is a single
+    lane gather (an [N,512,3] u8 layout would waste 125/128 lanes on TPU).
+    """
 
     table_key: jax.Array   # int32[H]   key at slot (INVALID_KEY / TOMBSTONE)
     table_val: jax.Array   # int32[H]   pool index at slot
     block_key: jax.Array   # int32[N]   key per pool slot (INVALID_KEY = free)
     sdf: jax.Array         # f32[N,512] truncated signed distance
     weight: jax.Array      # f32[N,512] integration weight (0 = empty voxel)
-    color: jax.Array       # u8[N,512,3]
+    color: jax.Array       # u32[N,512] packed 0x00RRGGBB
     n_tombstones: jax.Array  # int32[]  tombstone count (rehash trigger)
+
+
+def pack_rgb(rgb):
+    """f32 [...,3] in 0..255 -> packed u32 0x00RRGGBB."""
+    r = jnp.clip(rgb[..., 0], 0, 255).astype(jnp.uint32)
+    g = jnp.clip(rgb[..., 1], 0, 255).astype(jnp.uint32)
+    b = jnp.clip(rgb[..., 2], 0, 255).astype(jnp.uint32)
+    return (r << 16) | (g << 8) | b
+
+
+def unpack_rgb(packed):
+    """packed u32 [...] -> f32 [...,3] in 0..255."""
+    p = packed.astype(jnp.uint32)
+    return jnp.stack([((p >> 16) & 0xFF).astype(jnp.float32),
+                      ((p >> 8) & 0xFF).astype(jnp.float32),
+                      (p & 0xFF).astype(jnp.float32)], axis=-1)
 
 
 def create(cfg: MapConfig) -> MapState:
@@ -56,7 +79,7 @@ def create(cfg: MapConfig) -> MapState:
         block_key=jnp.full((n,), INVALID_KEY, jnp.int32),
         sdf=jnp.zeros((n, VOXELS_PER_BLOCK), jnp.float32),
         weight=jnp.zeros((n, VOXELS_PER_BLOCK), jnp.float32),
-        color=jnp.zeros((n, VOXELS_PER_BLOCK, 3), jnp.uint8),
+        color=jnp.zeros((n, VOXELS_PER_BLOCK), jnp.uint32),
         n_tombstones=jnp.int32(0),
     )
 
@@ -93,18 +116,22 @@ def lookup(state: MapState, keys, cfg: MapConfig):
     number of double-hash probe rounds (empty slot terminates the chain;
     tombstones do not).
     """
-    keys = jnp.asarray(keys, jnp.int32)
-    found = jnp.zeros(keys.shape, bool)
-    dead = keys == INVALID_KEY      # finished probing (found, or chain ended)
-    idx = jnp.zeros(keys.shape, jnp.int32)
+    keys_in = jnp.asarray(keys, jnp.int32)
+    shape = keys_in.shape
+    k = keys_in.reshape(-1)   # flat [K]: minor-dim-large TPU layout
+    found = jnp.zeros(k.shape, bool)
+    dead = k == INVALID_KEY   # finished probing (found, or chain ended)
+    idx = jnp.zeros(k.shape, jnp.int32)
+    # Statically unrolled probe rounds: pure dataflow, no dynamic control
+    # flow (data-dependent while_loops measurably degrade TPU dispatch).
     for r in range(cfg.max_probes):
-        slots = _probe_slot(keys, r, cfg.table_size)
+        slots = _probe_slot(k, r, cfg.table_size)
         tk = state.table_key[slots]
-        hit = (tk == keys) & ~dead
+        hit = (tk == k) & ~dead
         idx = jnp.where(hit, state.table_val[slots], idx)
         found |= hit
         dead |= hit | (tk == INVALID_KEY)
-    return idx, found
+    return idx.reshape(shape), found.reshape(shape)
 
 
 # ---------------------------------------------------------------------------
@@ -240,22 +267,48 @@ def compactify_all(state: MapState, cfg: MapConfig):
 # ---------------------------------------------------------------------------
 
 
-def gather_voxels(state: MapState, voxel_coords, cfg: MapConfig):
-    """Fetch (sdf, weight, color) for integer voxel coords [...,3].
+def gather_voxels(state: MapState, voxel_coords, cfg: MapConfig,
+                  with_color: bool = True):
+    """Fetch (sdf, weight, color[...,3]) for integer voxel coords [...,3].
 
     The reference's ``getVoxel(world)`` hash lookup per voxel
-    (VoxelUtilHashSDF.h:364-377). Unallocated -> weight 0.
+    (VoxelUtilHashSDF.h:364-377). Unallocated -> weight 0.  All work happens
+    on flat 1-D views (TPU lane efficiency); color unpacks from u32.
     """
-    block = geom.voxel_to_block(voxel_coords)
-    key = geom.pack_block_key(block, cfg.world_blocks)
+    vc = jnp.asarray(voxel_coords, jnp.int32)
+    shape = vc.shape[:-1]
+    vc = vc.reshape(-1, 3)
+    sdf, w, c = gather_voxels_soa(state, vc[:, 0], vc[:, 1], vc[:, 2], cfg,
+                                  with_color=with_color)
+    sdf, w = sdf.reshape(shape), w.reshape(shape)
+    if not with_color:
+        return sdf, w, None
+    return sdf, w, unpack_rgb(c).reshape(shape + (3,))
+
+
+def gather_voxels_soa(state: MapState, vx, vy, vz, cfg: MapConfig,
+                      with_color: bool = True):
+    """SoA voxel fetch: integer voxel coord component arrays (any equal
+    shape) -> (sdf, weight, packed_color_u32 | None) of the same shape."""
+    bs = SDF_BLOCK_SIZE
+    bx = jnp.floor_divide(vx, bs)
+    by = jnp.floor_divide(vy, bs)
+    bz = jnp.floor_divide(vz, bs)
+    half = cfg.world_blocks // 2
+    wb = cfg.world_blocks
+    gx, gy, gz = bx + half, by + half, bz + half
+    in_range = ((gx >= 0) & (gx < wb) & (gy >= 0) & (gy < wb)
+                & (gz >= 0) & (gz < wb))
+    key = jnp.where(in_range, (gz * wb + gy) * wb + gx, INVALID_KEY)
     pool_idx, found = lookup(state, key, cfg)
-    local = geom.voxel_local_index(voxel_coords)
-    sdf = state.sdf[pool_idx, local]
-    w = state.weight[pool_idx, local]
-    c = state.color[pool_idx, local]
-    w = jnp.where(found, w, 0.0)
-    sdf = jnp.where(found, sdf, 0.0)
-    c = jnp.where(found[..., None], c, 0)
+    local = (jnp.remainder(vz, bs) * bs + jnp.remainder(vy, bs)) * bs \
+        + jnp.remainder(vx, bs)
+    lin = pool_idx * VOXELS_PER_BLOCK + local
+    sdf = jnp.where(found, state.sdf.reshape(-1)[lin], 0.0)
+    w = jnp.where(found, state.weight.reshape(-1)[lin], 0.0)
+    if not with_color:
+        return sdf, w, None
+    c = jnp.where(found, state.color.reshape(-1)[lin], 0)
     return sdf, w, c
 
 
@@ -291,7 +344,7 @@ def delete_blocks(state: MapState, pool_indices, delete_mask,
     sdf = state.sdf.at[safe_idx].set(zero_v, mode="drop")
     weight = state.weight.at[safe_idx].set(zero_v, mode="drop")
     color = state.color.at[safe_idx].set(
-        jnp.zeros((VOXELS_PER_BLOCK, 3), jnp.uint8), mode="drop")
+        jnp.zeros((VOXELS_PER_BLOCK,), jnp.uint32), mode="drop")
     return state._replace(table_key=table_key, table_val=state.table_val,
                           block_key=block_key, sdf=sdf, weight=weight,
                           color=color,

@@ -82,8 +82,9 @@ class MapConfig:
     # >= 2x num_blocks to keep probe counts low (replaces 500k buckets x 10).
     table_size: int = 1 << 19
     # Max probe rounds for insertion/lookup (replaces bucket scan + collision
-    # linked lists, VoxelUtilHashSDF.h:423-468).
-    max_probes: int = 16
+    # linked lists, VoxelUtilHashSDF.h:423-468). With a >= 4x oversized
+    # double-hashed table, chains are short; rounds are statically unrolled.
+    max_probes: int = 8
     # Active-set cap: max blocks in camera frustum handled per frame
     # (the reference reads this count back per frame; we keep it static).
     max_active_blocks: int = 1 << 15
@@ -136,7 +137,11 @@ class RaycastConfig:
     thres_sample_dist_factor: float = 50.5  # s_SDFRayThresSampleDistFactor
     thres_dist_factor: float = 50.0      # s_SDFRayThresDistFactor
     use_gradients: bool = False          # s_SDFUseGradients
-    max_steps: int = 320                 # static cap on march steps
+    # Batched marching: every ray evaluates `num_samples` TSDF samples in one
+    # fused pass (no sequential loop); step = max(ray_increment,
+    # band / num_samples) within the per-tile splat band.
+    num_samples: int = 48
+    max_steps: int = 320                 # kept for config parity (unused cap)
     splat_enabled: bool = True           # per-tile depth bounds from blocks
     splat_tile: int = 16                 # screen tile size for min/max bounds
 

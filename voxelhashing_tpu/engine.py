@@ -1,0 +1,194 @@
+"""The per-frame reconstruction engine: the main-loop analog.
+
+Orchestrates the hot path the way ``reconstruction()`` does in the reference
+app (/root/reference/DepthSensingCUDA/Source/DepthSensing.cpp:720-928):
+
+    preprocess -> raycast model at last pose -> ICP track -> (lost? skip)
+    -> DDA alloc -> compactify -> TSDF integrate -> garbage collect
+
+but as ONE jit-compiled device program per frame: the only host round trip
+per frame is fetching the 6-DoF pose (and optional diagnostics), versus the
+reference's per-Gauss-Newton-step readbacks (CUDABuildLinearSystem.cpp:45)
+and compactified-count sync (CUDASceneRepHashSDF.cu:370).
+
+State threading is functional: :class:`EngineState` is a pytree carried
+through :func:`step`; nothing is mutated host-side.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import EngineConfig, CameraConfig
+from . import blockmap, geometry as geom, integrate as integ, raycast, tracking
+from .blockmap import MapState
+from .ops.image import preprocess, FrameInputs
+from .raycast import RaycastResult
+from .tracking import TrackingResult
+
+
+class EngineState(NamedTuple):
+    map: MapState
+    pose: jax.Array          # f32[4,4] current camera-to-world
+    frame: jax.Array         # i32[] frame counter
+    tracking_lost: jax.Array  # bool[] last frame's tracking status
+    n_integrated: jax.Array  # i32[] frames actually integrated
+
+
+class FrameDiagnostics(NamedTuple):
+    """Per-frame numbers the reference prints (TimingLog / heap watermark /
+    ICPErrorLog summaries), kept on device until the host asks."""
+
+    n_allocated_blocks: jax.Array   # i32[] pool occupancy after this frame
+    n_active_blocks: jax.Array      # i32[] in-frustum blocks this frame
+    active_overflow: jax.Array      # i32[] blocks dropped by the active cap
+    icp_residual: jax.Array         # f32[]
+    icp_corr_count: jax.Array       # i32[]
+    icp_condition: jax.Array        # f32[]
+    tracking_valid: jax.Array       # bool[]
+
+
+def create(cfg: EngineConfig, initial_pose=None) -> EngineState:
+    pose = jnp.eye(4, dtype=jnp.float32) if initial_pose is None \
+        else jnp.asarray(initial_pose, jnp.float32)
+    return EngineState(
+        map=blockmap.create(cfg.map),
+        pose=pose,
+        frame=jnp.int32(0),
+        tracking_lost=jnp.array(False),
+        n_integrated=jnp.int32(0),
+    )
+
+
+def _integrate_frame(state: MapState, frame: FrameInputs, pose,
+                     cfg: EngineConfig, frame_idx):
+    """alloc -> compactify -> integrate -> gc (CUDASceneRepHashSDF::integrate,
+    CUDASceneRepHashSDF.h:64-83)."""
+    cam, mp = cfg.camera, cfg.map
+    state, _ = integ.allocate_from_depth(state, frame.depth, pose, cam, mp)
+    view = geom.invert_rigid(pose)
+    active_idx, n_active, overflow = blockmap.compactify(state, view, cam, mp)
+    active_mask = jnp.arange(active_idx.shape[0]) < n_active
+    state = integ.integrate(state, frame.depth, frame.color, pose, cam, mp,
+                            active_idx=active_idx, active_mask=active_mask)
+    if mp.gc_enabled:
+        def run_gc(s):
+            s = integ.starve(s, active_idx, active_mask)
+            return integ.garbage_collect(s, active_idx, active_mask, mp)
+
+        state = jax.lax.cond(
+            (frame_idx > 0)
+            & (jnp.mod(frame_idx, mp.gc_starve_interval) == 0),
+            run_gc, lambda s: s, state)
+    state = blockmap.maybe_rehash(state, mp)
+    return state, active_idx, active_mask, n_active, overflow
+
+
+def step(state: EngineState, depth_raw, color_raw, cfg: EngineConfig,
+         pose_hint=None) -> Tuple[EngineState, FrameDiagnostics]:
+    """Process one RGB-D frame. jit-compile via ``make_step``.
+
+    ``pose_hint``: optional external pose (ground-truth trajectory replay,
+    s_binaryDumpSensorUseTrajectory semantics). With
+    ``cfg.use_trajectory=True`` the hint *is* the pose; with
+    ``use_trajectory_only_init=True`` it seeds ICP.
+    """
+    cam = cfg.camera
+    frame = preprocess(depth_raw, color_raw, cam, cfg.filter)
+
+    is_first = state.frame == 0
+
+    # --- Surface prediction at the last pose (model for ICP). -------------
+    view = geom.invert_rigid(state.pose)
+    active_idx, n_active, _ = blockmap.compactify(state.map, view, cam,
+                                                  cfg.map)
+    active_mask = jnp.arange(active_idx.shape[0]) < n_active
+    model = raycast.render(state.map, state.pose, cam, cfg.map, cfg.raycast,
+                           active_idx=active_idx, active_mask=active_mask)
+
+    # --- Tracking. --------------------------------------------------------
+    if cfg.use_trajectory and pose_hint is not None:
+        pose = jnp.asarray(pose_hint, jnp.float32)
+        track_valid = jnp.array(True)
+        tr = TrackingResult(pose=pose, valid=track_valid,
+                            residual=jnp.float32(0.0),
+                            corr_count=jnp.int32(0),
+                            condition=jnp.float32(0.0))
+    else:
+        last_pose = state.pose
+        if cfg.use_trajectory_only_init and pose_hint is not None:
+            last_pose = jnp.asarray(pose_hint, jnp.float32)
+        tr = tracking.track(frame.points, frame.normals,
+                            model.points, model.normals,
+                            last_pose, cam, cfg.tracker)
+        # Frame 0 has no model: keep the initial pose, mark valid.
+        tr = TrackingResult(
+            pose=jnp.where(is_first, state.pose, tr.pose),
+            valid=tr.valid | is_first,
+            residual=jnp.where(is_first, 0.0, tr.residual),
+            corr_count=jnp.where(is_first, 0, tr.corr_count),
+            condition=jnp.where(is_first, 0.0, tr.condition))
+
+    # --- Integration (skipped when tracking lost, DepthSensing.cpp:874-879).
+    def do_integrate(m):
+        new_map, _, _, n_act, ovf = _integrate_frame(
+            m, frame, tr.pose, cfg, state.frame)
+        return new_map, n_act, ovf
+
+    def skip_integrate(m):
+        return m, jnp.int32(0), jnp.int32(0)
+
+    new_map, n_act, overflow = jax.lax.cond(
+        tr.valid, do_integrate, skip_integrate, state.map)
+
+    st = blockmap.stats(new_map, cfg.map)
+    diag = FrameDiagnostics(
+        n_allocated_blocks=st["n_allocated"],
+        n_active_blocks=n_act,
+        active_overflow=overflow,
+        icp_residual=tr.residual,
+        icp_corr_count=tr.corr_count,
+        icp_condition=tr.condition,
+        tracking_valid=tr.valid,
+    )
+    new_state = EngineState(
+        map=new_map,
+        pose=tr.pose,
+        frame=state.frame + 1,
+        tracking_lost=~tr.valid,
+        n_integrated=state.n_integrated + tr.valid.astype(jnp.int32),
+    )
+    return new_state, diag
+
+
+@functools.lru_cache(maxsize=8)
+def make_step(cfg: EngineConfig, with_hint: bool = False, donate: bool = True):
+    """jit-compiled step function for a fixed config.
+
+    ``donate``: donate the engine state buffers (the map arrays are updated
+    in place on device — essential, the pool is hundreds of MB).
+    """
+    if with_hint:
+        def fn(state, depth, color, hint):
+            return step(state, depth, color, cfg, pose_hint=hint)
+    else:
+        def fn(state, depth, color):
+            return step(state, depth, color, cfg)
+    return jax.jit(fn, donate_argnums=(0,) if donate else ())
+
+
+def render_view(state: EngineState, cfg: EngineConfig, pose=None
+                ) -> RaycastResult:
+    """Standalone raycast of the current map (render modes, key '1')."""
+    pose = state.pose if pose is None else jnp.asarray(pose, jnp.float32)
+    cam = cfg.camera
+    view = geom.invert_rigid(pose)
+    active_idx, n_active, _ = blockmap.compactify(state.map, view, cam,
+                                                  cfg.map)
+    active_mask = jnp.arange(active_idx.shape[0]) < n_active
+    return raycast.render(state.map, pose, cam, cfg.map, cfg.raycast,
+                          active_idx=active_idx, active_mask=active_mask)

@@ -99,7 +99,8 @@ def delinearize_voxel_index(idx):
 # the reference's int3 HashEntry.pos field; the streaming layer owns space
 # beyond this extent.
 
-INVALID_KEY = jnp.int32(0x7FFFFFFF)
+INVALID_KEY = 0x7FFFFFFF  # Python int, NOT a jnp scalar: module-level device
+# arrays captured into jit programs cause severe dispatch degradation on TPU
 
 
 def pack_block_key(block, world_blocks: int):

@@ -57,54 +57,90 @@ def alloc_candidates(depth, pose, cam: CameraConfig, cfg: MapConfig,
     max_d = jnp.minimum(cfg.max_integration_distance, d + t)
     valid &= min_d < max_d
 
+    # All per-pixel state is SoA ([P] per coordinate) for TPU lane packing.
     u, v = geom.pixel_grid(w, h)
     u, v = u.reshape(-1), v.reshape(-1)
-    ray_min = geom.transform_points(pose, geom.screen_to_camera(u, v, min_d, cam))
-    ray_max = geom.transform_points(pose, geom.screen_to_camera(u, v, max_d, cam))
+    xn = (u - cam.cx) / cam.fx            # normalised camera ray
+    yn = (v - cam.cy) / cam.fy
+    r, tr = pose[:3, :3], pose[:3, 3]
 
-    ray_dir = ray_max - ray_min
-    ray_len = jnp.linalg.norm(ray_dir, axis=-1, keepdims=True)
-    ray_dir = ray_dir / jnp.maximum(ray_len, 1e-12)
+    def to_world(depth_along):
+        cx_, cy_, cz_ = xn * depth_along, yn * depth_along, depth_along
+        return (r[0, 0] * cx_ + r[0, 1] * cy_ + r[0, 2] * cz_ + tr[0],
+                r[1, 0] * cx_ + r[1, 1] * cy_ + r[1, 2] * cz_ + tr[1],
+                r[2, 0] * cx_ + r[2, 1] * cy_ + r[2, 2] * cz_ + tr[2])
+
+    ox, oy, oz = to_world(min_d)
+    ex, ey, ez = to_world(max_d)
+    dx, dy, dz = ex - ox, ey - oy, ez - oz
+    rlen = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    rl = jnp.maximum(rlen, 1e-12)
+    dx, dy, dz = dx / rl, dy / rl, dz / rl
 
     block_world = cfg.block_size_world
-    cur = geom.world_to_block(ray_min, cfg.voxel_size)        # [P,3]
-    end = geom.world_to_block(ray_max, cfg.voxel_size)
-    step = jnp.sign(ray_dir).astype(jnp.int32)
-
-    # Distance along the ray to the next block boundary per axis. The
-    # reference computes the boundary from the *rounded* block corner minus
-    # half a voxel (block corner samples sit at multiples of voxel_size, so
-    # cell walls are offset by voxel_size/2; SDFBlockToWorld + -0.5*voxel,
-    # CUDASceneRepHashSDF.cu:193).
-    boundary = (cur + jnp.clip(step, 0, 1)).astype(jnp.float32) * block_world \
-        - 0.5 * cfg.voxel_size
-    safe_dir = jnp.where(ray_dir == 0.0, 1e-12, ray_dir)
-    t_max = (boundary - ray_min) / safe_dir
-    t_delta = (step.astype(jnp.float32) * block_world) / safe_dir
+    vs = cfg.voxel_size
     inf = jnp.float32(jnp.inf)
-    degenerate = (ray_dir == 0.0) | (boundary - ray_min == 0.0)
-    t_max = jnp.where(degenerate, inf, t_max)
-    t_delta = jnp.where(degenerate, inf, t_delta)
-    bound = end + step
+
+    def block_of(px, py, pz):
+        # world -> voxel (symmetric round) -> block (floor div by 8)
+        def f(p):
+            q = p / vs
+            return jnp.floor_divide(
+                (q + jnp.sign(q) * 0.5).astype(jnp.int32), SDF_BLOCK_SIZE)
+        return f(px), f(py), f(pz)
+
+    cxb, cyb, czb = block_of(ox, oy, oz)
+    exb, eyb, ezb = block_of(ex, ey, ez)
+
+    def axis_setup(c, e, o, dirc):
+        step = jnp.sign(dirc).astype(jnp.int32)
+        # Boundary = rounded block corner minus half a voxel
+        # (SDFBlockToWorld - 0.5*voxel, CUDASceneRepHashSDF.cu:193).
+        boundary = (c + jnp.clip(step, 0, 1)).astype(jnp.float32) \
+            * block_world - 0.5 * vs
+        safe = jnp.where(dirc == 0.0, 1e-12, dirc)
+        t_max = (boundary - o) / safe
+        t_delta = (step.astype(jnp.float32) * block_world) / safe
+        degen = (dirc == 0.0) | (boundary - o == 0.0)
+        return (step, jnp.where(degen, inf, t_max),
+                jnp.where(degen, inf, t_delta), e + step)
+
+    sx, tmx, tdx, bx = axis_setup(cxb, exb, ox, dx)
+    sy, tmy, tdy, by = axis_setup(cyb, eyb, oy, dy)
+    sz, tmz, tdz, bz = axis_setup(czb, ezb, oz, dz)
+
+    half = cfg.world_blocks // 2
+    wb = cfg.world_blocks
+
+    def make_key(cx_, cy_, cz_, alive):
+        gx, gy, gz = cx_ + half, cy_ + half, cz_ + half
+        ok = alive & (gx >= 0) & (gx < wb) & (gy >= 0) & (gy < wb) \
+            & (gz >= 0) & (gz < wb)
+        key = (gz * wb + gy) * wb + gx
+        return jnp.where(ok, key, INVALID_KEY)
 
     def dda_step(carry, _):
-        cur, t_max, alive = carry
-        key = geom.pack_block_key(cur, cfg.world_blocks)
-        key = jnp.where(alive, key, INVALID_KEY)
-        # Pick the axis with smallest t_max (reference order: x, then z,
-        # then y on ties, CUDASceneRepHashSDF.cu:228-243).
-        tx, ty, tz = t_max[:, 0], t_max[:, 1], t_max[:, 2]
-        ax = jnp.where((tx < ty) & (tx < tz), 0, jnp.where(tz < ty, 2, 1))
-        onehot = jax.nn.one_hot(ax, 3, dtype=jnp.int32)
-        nxt = cur + onehot * step
-        # Ray exits the band when the stepped axis reaches its bound.
-        hit_bound = jnp.sum(onehot * (nxt == bound), axis=-1) > 0
-        t_max = t_max + onehot.astype(t_max.dtype) * t_delta
+        cx_, cy_, cz_, tmx, tmy, tmz, alive = carry
+        key = make_key(cx_, cy_, cz_, alive)
+        # Step the axis with smallest t_max (reference tie order: x, z, y;
+        # CUDASceneRepHashSDF.cu:228-243).
+        takex = (tmx < tmy) & (tmx < tmz)
+        takez = ~takex & (tmz < tmy)
+        takey = ~takex & ~takez
+        nx = cx_ + jnp.where(takex, sx, 0)
+        ny = cy_ + jnp.where(takey, sy, 0)
+        nz = cz_ + jnp.where(takez, sz, 0)
+        hit_bound = (takex & (nx == bx)) | (takey & (ny == by)) \
+            | (takez & (nz == bz))
+        tmx = jnp.where(takex, tmx + tdx, tmx)
+        tmy = jnp.where(takey, tmy + tdy, tmy)
+        tmz = jnp.where(takez, tmz + tdz, tmz)
         alive = alive & ~hit_bound
-        return (nxt, t_max, alive), key
+        return (nx, ny, nz, tmx, tmy, tmz, alive), key
 
-    (_, _, _), keys = jax.lax.scan(
-        dda_step, (cur, t_max, valid), None, length=cfg.alloc_steps)
+    _, keys = jax.lax.scan(
+        dda_step, (cxb, cyb, czb, tmx, tmy, tmz, valid), None,
+        length=cfg.alloc_steps)
     return keys.reshape(-1)   # [alloc_steps * P]
 
 
@@ -132,6 +168,19 @@ def _local_voxel_offsets():
     return geom.delinearize_voxel_index(idx)
 
 
+def _pack_frame_color(color):
+    """[h,w,3] f32 in [0,1] -> [h,w] u32 packed 0x00RRGGBB (x255).
+
+    One pack per frame makes every downstream color fetch a single-lane
+    u32 gather (TPU-friendly) instead of a 3-wide minor-dim gather.
+    """
+    c = jnp.where(jnp.isfinite(color), color, -1.0) * 255.0
+    valid = jnp.all(color >= 0.0, axis=-1) & jnp.all(
+        jnp.isfinite(color), axis=-1)
+    packed = blockmap.pack_rgb(c)
+    return packed, valid
+
+
 def integrate(state: MapState, depth, color, pose, cam: CameraConfig,
               cfg: MapConfig, active_idx=None, active_mask=None) -> MapState:
     """Fuse one depth (+color) frame into the active blocks.
@@ -156,25 +205,36 @@ def integrate(state: MapState, depth, color, pose, cam: CameraConfig,
         active_idx, _, _ = blockmap.compactify(state, view, cam, cfg)
         active_mask = state.block_key[active_idx] != INVALID_KEY
 
-    m = active_idx.shape[0]
+    # All hot math below is structure-of-arrays [M,512] (512 = minor axis,
+    # one VMEM tile per block): [M,512,3] AoS would waste 125/128 TPU lanes.
     blocks = geom.unpack_block_key(state.block_key[active_idx],
                                    cfg.world_blocks)         # [M,3]
     base_voxel = geom.block_to_voxel(blocks)                 # [M,3]
-    voxel = base_voxel[:, None, :] + _local_voxel_offsets()[None, :, :]
-    p_world = geom.voxel_to_world(voxel, cfg.voxel_size)     # [M,512,3]
-    p_cam = geom.transform_points(view, p_world)
+    off = _local_voxel_offsets()                             # [512,3]
+    vs = cfg.voxel_size
+    wx = (base_voxel[:, 0:1] + off[None, :, 0]).astype(jnp.float32) * vs
+    wy = (base_voxel[:, 1:2] + off[None, :, 1]).astype(jnp.float32) * vs
+    wz = (base_voxel[:, 2:3] + off[None, :, 2]).astype(jnp.float32) * vs
+    r, t = view[:3, :3], view[:3, 3]
+    px = r[0, 0] * wx + r[0, 1] * wy + r[0, 2] * wz + t[0]   # [M,512]
+    py = r[1, 0] * wx + r[1, 1] * wy + r[1, 2] * wz + t[1]
+    pz = r[2, 0] * wx + r[2, 1] * wy + r[2, 2] * wz + t[2]
 
-    uv = geom.camera_to_screen_int(p_cam, cam)               # [M,512,2]
-    on_screen = ((uv[..., 0] >= 0) & (uv[..., 0] < cam.width)
-                 & (uv[..., 1] >= 0) & (uv[..., 1] < cam.height))
-    ui = jnp.clip(uv[..., 0], 0, cam.width - 1)
-    vi = jnp.clip(uv[..., 1], 0, cam.height - 1)
+    safe_z = jnp.where(pz == 0.0, 1e-12, pz)
+    uf = px * cam.fx / safe_z + cam.cx
+    vf = py * cam.fy / safe_z + cam.cy
+    ui = jnp.floor(uf + 0.5).astype(jnp.int32)
+    vi = jnp.floor(vf + 0.5).astype(jnp.int32)
+    on_screen = ((ui >= 0) & (ui < cam.width)
+                 & (vi >= 0) & (vi < cam.height) & (pz > 0.0))
+    ui = jnp.clip(ui, 0, cam.width - 1)
+    vi = jnp.clip(vi, 0, cam.height - 1)
 
     d = depth[vi, ui]                                        # [M,512]
     d_valid = jnp.isfinite(d) & (d > 0.0)
     d = jnp.where(d_valid, d, 0.0)
 
-    sdf = d - p_cam[..., 2]
+    sdf = d - pz
     trunc = cfg.truncation_at(d)
     update = (on_screen & d_valid
               & (d < cfg.max_integration_distance)
@@ -188,27 +248,27 @@ def integrate(state: MapState, depth, color, pose, cam: CameraConfig,
 
     if color is not None:
         # frame colors are [0,1]; voxel colors 0..255 (reference scales by
-        # 255 at CUDASceneRepHashSDF.cu:474)
-        c_new = color[vi, ui].astype(jnp.float32) * 255.0    # [M,512,3]
-        c_valid = jnp.all(jnp.isfinite(c_new), axis=-1)
-        update &= c_valid
+        # 255 at CUDASceneRepHashSDF.cu:474); packed u32 per pixel.
+        packed, c_ok = _pack_frame_color(color)
+        c_new = packed[vi, ui]                               # [M,512] u32
+        update &= c_ok[vi, ui]
     else:
-        c_new = jnp.broadcast_to(
-            jnp.array([0.0, 255.0, 0.0], jnp.float32), sdf.shape + (3,))
+        c_new = jnp.full(sdf.shape, jnp.uint32(0x00FF00))    # debug green
 
     old_sdf = state.sdf[active_idx]
     old_w = state.weight[active_idx]
-    old_c = state.color[active_idx].astype(jnp.float32)
+    old_c = state.color[active_idx]
 
     new_w_sum = old_w + w_new
     fused_sdf = (old_sdf * old_w + sdf * w_new) / new_w_sum
     fused_w = jnp.minimum(new_w_sum, cfg.integration_weight_max)
-    # 50/50 exponential color blend with +0.5 rounding (combineVoxel).
-    fused_c = jnp.floor(0.5 * old_c + 0.5 * c_new + 0.5)
+    # 50/50 exponential color blend with +0.5 rounding (combineVoxel),
+    # carried out per channel on the packed u32s.
+    fused_c = _blend_packed(old_c, c_new)
 
     out_sdf = jnp.where(update, fused_sdf, old_sdf)
     out_w = jnp.where(update, fused_w, old_w)
-    out_c = jnp.where(update[..., None], fused_c, old_c).astype(jnp.uint8)
+    out_c = jnp.where(update, fused_c, old_c)
 
     safe_idx = jnp.where(active_mask, active_idx, cfg.num_blocks)
     return state._replace(
@@ -216,6 +276,19 @@ def integrate(state: MapState, depth, color, pose, cam: CameraConfig,
         weight=state.weight.at[safe_idx].set(out_w, mode="drop"),
         color=state.color.at[safe_idx].set(out_c, mode="drop"),
     )
+
+
+def _blend_packed(old_c, new_c):
+    """50/50 per-channel blend of packed 0x00RRGGBB u32 colors with +0.5
+    rounding (combineVoxel, VoxelUtilHashSDF.h:228-250)."""
+    o, n = old_c.astype(jnp.uint32), new_c.astype(jnp.uint32)
+    # (o+n+1)/2 per channel == floor(0.5*o + 0.5*n + 0.5), carried out
+    # without crossing channel boundaries.
+    mask = jnp.uint32(0x00FF00FF)
+    rb = (((o & mask) + (n & mask) + jnp.uint32(0x00010001)) >> 1) & mask
+    g_mask = jnp.uint32(0x0000FF00)
+    g = (((o & g_mask) + (n & g_mask) + jnp.uint32(0x00000100)) >> 1) & g_mask
+    return rb | g
 
 
 # ---------------------------------------------------------------------------

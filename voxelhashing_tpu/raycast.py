@@ -1,0 +1,319 @@
+"""Surface prediction: per-pixel TSDF raycast over the block-sparse map.
+
+TPU-native re-derivation of ``CUDARayCastSDF`` (/root/reference/
+DepthSensingCUDA/Source/CUDARayCastSDF.cu:18-57 ``renderKernel``,
+``RayCastSDFUtil.h:198-262`` ``traverseCoarseGridSimpleSampleAll``):
+
+* The per-pixel while-loop march becomes a batched ``lax.while_loop`` over
+  ALL pixels with an alive mask (whole-image early exit) and a static step
+  cap — no data-dependent shapes.
+* **Ray-interval tile bounds**: the reference's DX11 rasterized ray-interval
+  splatting is disabled in CUDA (CUDARayCastSDF.cu:40-48); here we re-enable
+  the idea the XLA way — project every active block's corners, scatter-min/
+  max its depth range into a coarse screen-tile grid, and march each pixel
+  only within its tile's [min,max] band.  This is what bounds the march cost.
+* Trilinear SDF interpolation with 8 per-corner hash lookups
+  (``trilinearInterpolationSimpleFastFast``, RayCastSDFUtil.h:97-116):
+  invalid if any corner voxel has zero weight.
+* Zero-crossing refinement by 3 secant/bisection iterations
+  (``findIntersectionBisection``, RayCastSDFUtil.h:148-170), vectorised.
+* Normals: screen-space central differences of the output position map
+  (``computeNormals``; analytic SDF gradients are available behind
+  ``cfg.use_gradients`` like the reference's s_SDFUseGradients).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import (CameraConfig, MapConfig, RaycastConfig, SDF_BLOCK_SIZE)
+from . import geometry as geom
+from . import blockmap
+from .blockmap import MapState
+
+
+class RaycastResult(NamedTuple):
+    """The predicted model frame (RayCastData, RayCastSDFUtil.h:266-274)."""
+
+    depth: jax.Array    # f32[h,w]    z-depth, NaN where no surface
+    points: jax.Array   # f32[h,w,3]  camera-space positions, NaN invalid
+    normals: jax.Array  # f32[h,w,3]  camera-space normals, NaN invalid
+    color: jax.Array    # f32[h,w,3]  surface color in [0,1]
+
+
+# ---------------------------------------------------------------------------
+# Trilinear TSDF sampling
+# ---------------------------------------------------------------------------
+
+_CORNER_LIST = [(0, 0, 0), (1, 0, 0), (0, 1, 0), (1, 1, 0),
+                (0, 0, 1), (1, 0, 1), (0, 1, 1), (1, 1, 1)]
+_CORNERS = np.array(_CORNER_LIST, np.int32)  # host constant (not a device array)
+
+
+def trilinear_sample(state: MapState, p_world, cfg: MapConfig,
+                     with_color: bool = False):
+    """Trilinearly interpolated (sdf, valid[, color]) at world points [...,3].
+
+    Voxel samples sit at integer virtual-voxel coords (voxel*voxel_size);
+    invalid if any of the 8 corners is unallocated / zero-weight
+    (RayCastSDFUtil.h:97-116).  Corner-major layout: corners are stacked on
+    a LEADING axis ([8,K,...]) so every per-corner op runs on flat [K]
+    arrays (a trailing 8 axis would waste 15/16 of the TPU vector lanes).
+    """
+    shape = p_world.shape[:-1]
+    pw = p_world.reshape(-1, 3)
+    out = trilinear_sample_soa(state, pw[:, 0], pw[:, 1], pw[:, 2], cfg,
+                               with_color=with_color)
+    if with_color:
+        s, valid, col = out
+        return (s.reshape(shape), valid.reshape(shape),
+                col.reshape(shape + (3,)))
+    s, valid = out
+    return s.reshape(shape), valid.reshape(shape)
+
+
+def trilinear_sample_soa(state: MapState, px, py, pz, cfg: MapConfig,
+                         with_color: bool = False):
+    """SoA core of :func:`trilinear_sample`: flat [K] coordinate arrays."""
+    vs = cfg.voxel_size
+    qx, qy, qz = px / vs, py / vs, pz / vs
+    bx = jnp.floor(qx).astype(jnp.int32)
+    by = jnp.floor(qy).astype(jnp.int32)
+    bz = jnp.floor(qz).astype(jnp.int32)
+    fx, fy, fz = qx - bx, qy - by, qz - bz
+
+    # One batched fetch over a leading corner axis: [8,K] everywhere.
+    cx = jnp.stack([bx + o[0] for o in _CORNER_LIST], axis=0)
+    cy = jnp.stack([by + o[1] for o in _CORNER_LIST], axis=0)
+    cz = jnp.stack([bz + o[2] for o in _CORNER_LIST], axis=0)
+    sdf, w, c = blockmap.gather_voxels_soa(state, cx, cy, cz, cfg,
+                                           with_color=with_color)  # [8,K]
+    valid = jnp.all(w > 0.0, axis=0)                  # [K]
+
+    s = jnp.zeros(fx.shape, jnp.float32)
+    col = jnp.zeros(fx.shape + (3,), jnp.float32) if with_color else None
+    for i, (ox, oy, oz) in enumerate(_CORNER_LIST):
+        tw = ((fx if ox else 1.0 - fx) * (fy if oy else 1.0 - fy)
+              * (fz if oz else 1.0 - fz))             # [K]
+        s = s + tw * sdf[i]
+        if with_color:
+            col = col + tw[:, None] * blockmap.unpack_rgb(c[i])
+    if with_color:
+        return s, valid, col / 255.0
+    return s, valid
+
+
+def sdf_gradient(state: MapState, p_world, cfg: MapConfig):
+    """Central-difference SDF gradient (gradientForPoint,
+    RayCastSDFUtil.h:173-195). Off by default like s_SDFUseGradients."""
+    offs = cfg.voxel_size
+    grads = []
+    ok = None
+    for ax in range(3):
+        e = jnp.zeros((3,), jnp.float32).at[ax].set(offs)
+        sp, vp = trilinear_sample(state, p_world + e, cfg)
+        sm, vm = trilinear_sample(state, p_world - e, cfg)
+        grads.append((sp - sm) * 0.5)
+        v = vp & vm
+        ok = v if ok is None else (ok & v)
+    g = jnp.stack(grads, axis=-1)
+    n = jnp.linalg.norm(g, axis=-1, keepdims=True)
+    good = ok & (n[..., 0] > 0.0)
+    g = jnp.where(good[..., None], g / jnp.where(n > 0, n, 1.0), jnp.nan)
+    return g, good
+
+
+# ---------------------------------------------------------------------------
+# Ray-interval tile bounds (the XLA-native ray-interval splatting)
+# ---------------------------------------------------------------------------
+
+
+def ray_interval_splat(state: MapState, active_idx, active_mask, view_matrix,
+                       cam: CameraConfig, cfg: MapConfig, rc: RaycastConfig):
+    """Per-screen-tile [min,max] z-depth bounds of the active blocks.
+
+    The XLA replacement for the reference's rasterized per-block min/max
+    quads (rayIntervalSplatKernel, CUDARayCastSDF.cu:101-167): project each
+    active block's 8 corners into the camera, take its screen bbox and depth
+    range, and scatter-min/max into a (tiles_y, tiles_x) grid.  Blocks whose
+    bbox spans more than a static cap of tiles (or crosses the near plane)
+    contribute conservatively to *all* tiles.
+
+    Returns (t_min[tiles_y,tiles_x], t_max[tiles_y,tiles_x]) in z-depth
+    metres; tiles no block touches get t_min=+inf > t_max=-inf.
+    """
+    tile = rc.splat_tile
+    ty = -(-cam.height // tile)
+    tx = -(-cam.width // tile)
+    span = 4  # static per-block tile span cap (blocks are ~8px at 1m)
+
+    blocks = geom.unpack_block_key(state.block_key[active_idx],
+                                   cfg.world_blocks)             # [M,3]
+    corner0 = geom.block_to_world(blocks, cfg.voxel_size)
+    bsz = cfg.block_size_world
+    corners = corner0[:, None, :] + bsz * _CORNERS.astype(jnp.float32)
+    p_cam = geom.transform_points(view_matrix, corners)          # [M,8,3]
+
+    z = p_cam[..., 2]
+    z_min = jnp.min(z, axis=-1)
+    z_max = jnp.max(z, axis=-1)
+    near_ok = z_min > 1e-3          # block fully in front of the camera
+
+    uv = geom.camera_to_screen(p_cam, cam)                       # [M,8,2]
+    u_min = jnp.floor(jnp.min(uv[..., 0], axis=-1)).astype(jnp.int32)
+    u_max = jnp.floor(jnp.max(uv[..., 0], axis=-1)).astype(jnp.int32)
+    v_min = jnp.floor(jnp.min(uv[..., 1], axis=-1)).astype(jnp.int32)
+    v_max = jnp.floor(jnp.max(uv[..., 1], axis=-1)).astype(jnp.int32)
+    t0x = jnp.clip(u_min // tile, 0, tx - 1)
+    t1x = jnp.clip(u_max // tile, 0, tx - 1)
+    t0y = jnp.clip(v_min // tile, 0, ty - 1)
+    t1y = jnp.clip(v_max // tile, 0, ty - 1)
+    on_screen = (u_max >= 0) & (u_min < cam.width) \
+        & (v_max >= 0) & (v_min < cam.height)
+
+    fits = (t1x - t0x < span) & (t1y - t0y < span)
+    scatter_ok = active_mask & near_ok & on_screen & fits
+    # Oversized / near-plane-crossing visible blocks: conservative global band.
+    overflow = active_mask & on_screen & ~(near_ok & fits)
+    any_overflow = jnp.any(overflow)
+    g_min = jnp.min(jnp.where(overflow, jnp.maximum(z_min, cam.depth_min),
+                              jnp.inf))
+    g_max = jnp.max(jnp.where(overflow, z_max, -jnp.inf))
+
+    t_min = jnp.full((ty, tx), jnp.inf, jnp.float32)
+    t_max = jnp.full((ty, tx), -jnp.inf, jnp.float32)
+    for dy in range(span):
+        for dx in range(span):
+            iy = t0y + dy
+            ix = t0x + dx
+            ok = scatter_ok & (iy <= t1y) & (ix <= t1x)
+            iy_s = jnp.where(ok, iy, ty)   # drop out-of-range scatters
+            ix_s = jnp.where(ok, ix, tx)
+            t_min = t_min.at[iy_s, ix_s].min(z_min, mode="drop")
+            t_max = t_max.at[iy_s, ix_s].max(z_max, mode="drop")
+
+    t_min = jnp.where(any_overflow, jnp.minimum(t_min, g_min), t_min)
+    t_max = jnp.where(any_overflow, jnp.maximum(t_max, g_max), t_max)
+    return t_min, t_max
+
+
+# ---------------------------------------------------------------------------
+# The march
+# ---------------------------------------------------------------------------
+
+
+def render(state: MapState, pose, cam: CameraConfig, cfg: MapConfig,
+           rc: RaycastConfig, active_idx=None, active_mask=None
+           ) -> RaycastResult:
+    """Raycast the map from ``pose`` (camera-to-world), producing the model
+    frame for tracking/visualisation (CUDARayCastSDF::render,
+    CUDARayCastSDF.cpp:38-72).
+    """
+    h, w = cam.height, cam.width
+    d = rc.derived(cfg)
+    ray_inc = d["ray_increment"]
+    thres_sample_dist = d["thres_sample_dist"]
+    thres_dist = d["thres_dist"]
+
+    view = geom.invert_rigid(pose)
+    origin = pose[:3, 3]
+
+    u, v = geom.pixel_grid(w, h)
+    # Unit-z-depth ray directions in world space: stepping t in z-depth.
+    # SoA components [P] throughout the march (TPU lane packing).
+    xn = ((u - cam.cx) / cam.fx).reshape(-1)
+    yn = ((v - cam.cy) / cam.fy).reshape(-1)
+    rot = pose[:3, :3]
+    dwx = rot[0, 0] * xn + rot[0, 1] * yn + rot[0, 2]
+    dwy = rot[1, 0] * xn + rot[1, 1] * yn + rot[1, 2]
+    dwz = rot[2, 0] * xn + rot[2, 1] * yn + rot[2, 2]
+    ox_, oy_, oz_ = origin[0], origin[1], origin[2]
+    p = w * h
+
+    # Per-pixel march bounds from the tile splat (else global depth range).
+    if rc.splat_enabled and active_idx is not None:
+        tmin_t, tmax_t = ray_interval_splat(
+            state, active_idx, active_mask, view, cam, cfg, rc)
+        tile = rc.splat_tile
+        iy = (jnp.arange(h) // tile)
+        ix = (jnp.arange(w) // tile)
+        t_min = jnp.maximum(tmin_t[iy[:, None], ix[None, :]] - cfg.truncation,
+                            cam.depth_min).reshape(-1)
+        t_max = jnp.minimum(tmax_t[iy[:, None], ix[None, :]] + cfg.truncation,
+                            cam.depth_max).reshape(-1)
+    else:
+        t_min = jnp.full((p,), cam.depth_min, jnp.float32)
+        t_max = jnp.full((p,), cam.depth_max, jnp.float32)
+
+    # --- Batched march: evaluate ALL samples in one fused pass. ----------
+    # Instead of a sequential per-step loop (the reference's while-march,
+    # RayCastSDFUtil.h:212-231 — and a dispatch-latency disaster on TPU),
+    # every ray evaluates S sample positions at once ([S, P] with P minor),
+    # then the first + -> - crossing is extracted with a vectorised argmax.
+    s_n = rc.num_samples
+    band = jnp.maximum(t_max - t_min, 0.0)
+    dt = jnp.maximum(ray_inc, band / (s_n - 1))              # [P] adaptive
+    si = jnp.arange(s_n, dtype=jnp.float32)[:, None]         # [S,1]
+    ts = t_min[None, :] + si * dt[None, :]                   # [S,P]
+    in_band = ts <= (t_max[None, :] + dt[None, :])           # one past end
+
+    sdf_s, ok_s = trilinear_sample_soa(
+        state,
+        ox_ + dwx[None, :] * ts,
+        oy_ + dwy[None, :] * ts,
+        oz_ + dwz[None, :] * ts, cfg)                        # [S,P]
+    ok_s &= in_band
+
+    # Crossing between consecutive samples (reference test :219-230).
+    cross = (ok_s[:-1] & ok_s[1:]
+             & (sdf_s[:-1] > 0.0) & (sdf_s[1:] < 0.0)
+             & (sdf_s[:-1] - sdf_s[1:] < thres_sample_dist))  # [S-1,P]
+    found = jnp.any(cross, axis=0)                           # [P]
+    first = jnp.argmax(cross, axis=0)                        # [P] first True
+    b_t0 = jnp.take_along_axis(ts, first[None, :], axis=0)[0]
+    b_t1 = b_t0 + dt
+    b_s0 = jnp.take_along_axis(sdf_s, first[None, :], axis=0)[0]
+    b_s1 = jnp.take_along_axis(sdf_s, (first + 1)[None, :], axis=0)[0]
+
+    # Secant/bisection refinement (findIntersectionBisection,
+    # RayCastSDFUtil.h:148-170), statically unrolled 3 iterations.
+    for _ in range(3):
+        denom = b_s0 - b_s1
+        alpha = jnp.where(jnp.abs(denom) > 1e-12, b_s0 / denom, 0.5)
+        tm = b_t0 + alpha * (b_t1 - b_t0)
+        sm, ok = trilinear_sample_soa(
+            state, ox_ + dwx * tm, oy_ + dwy * tm, oz_ + dwz * tm, cfg)
+        neg = ok & (sm < 0.0)
+        pos = ok & (sm >= 0.0)
+        b_t1 = jnp.where(neg, tm, b_t1)
+        b_s1 = jnp.where(neg, sm, b_s1)
+        b_t0 = jnp.where(pos, tm, b_t0)
+        b_s0 = jnp.where(pos, sm, b_s0)
+    denom = b_s0 - b_s1
+    alpha = jnp.where(jnp.abs(denom) > 1e-12, b_s0 / denom, 0.5)
+    t_hit = b_t0 + alpha * (b_t1 - b_t0)
+
+    # Final validity: interpolated |sdf| below threshold (reference :227-230).
+    hx, hy, hz = ox_ + dwx * t_hit, oy_ + dwy * t_hit, oz_ + dwz * t_hit
+    s_hit, ok_hit, col = trilinear_sample_soa(state, hx, hy, hz, cfg,
+                                              with_color=True)
+    p_hit = jnp.stack([hx, hy, hz], axis=-1)
+    found &= ok_hit & (jnp.abs(s_hit) < thres_dist)
+
+    depth = jnp.where(found, t_hit, jnp.nan).reshape(h, w)
+    p_cam = geom.transform_points(view, p_hit).reshape(h, w, 3)
+    p_cam = jnp.where(jnp.isfinite(depth)[..., None], p_cam, jnp.nan)
+    color = jnp.where(found[:, None], col, 0.0).reshape(h, w, 3)
+
+    if rc.use_gradients:
+        g, gok = sdf_gradient(state, p_hit, cfg)
+        n_world = jnp.where((found & gok)[:, None], g, jnp.nan)
+        normals = geom.rotate_vectors(view, n_world).reshape(h, w, 3)
+    else:
+        normals = geom.normals_from_points(p_cam)
+    return RaycastResult(depth=depth, points=p_cam, normals=normals,
+                         color=color)
