@@ -1,0 +1,103 @@
+"""IO round trips: .sens container, TUM loader."""
+
+import os
+
+import numpy as np
+
+from voxelhashing_tpu.config import CameraConfig
+from voxelhashing_tpu.io import sensfile, tum
+from voxelhashing_tpu.io.synthetic import Scene, make_sequence
+
+
+CAM = CameraConfig(width=64, height=48, fx=52.0, fy=52.0, cx=31.5, cy=23.5)
+
+
+def make_data(n=3):
+    return make_sequence(n, CAM, Scene())
+
+
+class TestSensRoundTrip:
+    def _roundtrip(self, tmp_path, compress):
+        depths, colors, poses = make_data()
+        path = os.path.join(tmp_path, "seq.sens")
+        intr = np.eye(4, dtype=np.float32)
+        intr[0, 0], intr[1, 1] = CAM.fx, CAM.fy
+        intr[0, 2], intr[1, 2] = CAM.cx, CAM.cy
+        sensfile.write_sens(path, depths, colors, poses, intr,
+                            compress_depth=compress)
+        r = sensfile.SensReader(path)
+        assert len(r) == len(poses)
+        assert r.header.depth_width == CAM.width
+        np.testing.assert_allclose(
+            r.header.calibration_depth.intrinsic[0, 0], CAM.fx)
+        for i in range(len(r)):
+            d, c, p = r.read_frame(i)
+            np.testing.assert_allclose(p, poses[i], atol=1e-6)
+            valid = np.isfinite(depths[i])
+            np.testing.assert_allclose(d[valid], depths[i][valid], atol=1e-3)
+            assert np.all(~np.isfinite(d[~valid]))
+            np.testing.assert_allclose(c, colors[i], atol=1 / 255.0)
+        gt = r.ground_truth()
+        np.testing.assert_allclose(gt[2], poses[2], atol=1e-6)
+        r.close()
+
+    def test_zlib_depth(self, tmp_path):
+        self._roundtrip(tmp_path, compress=True)
+
+    def test_raw_depth(self, tmp_path):
+        self._roundtrip(tmp_path, compress=False)
+
+
+class TestTum:
+    def _make_tum_dir(self, tmp_path):
+        from PIL import Image
+        depths, colors, poses = make_data(3)
+        root = str(tmp_path)
+        os.makedirs(os.path.join(root, "depth"))
+        os.makedirs(os.path.join(root, "rgb"))
+        with open(os.path.join(root, "depth.txt"), "w") as fd, \
+                open(os.path.join(root, "rgb.txt"), "w") as fr, \
+                open(os.path.join(root, "groundtruth.txt"), "w") as fg:
+            fg.write("# ground truth\n")
+            for i in range(3):
+                t = 100.0 + i * 0.033
+                du = np.where(np.isfinite(depths[i]),
+                              depths[i] * 5000.0, 0).astype(np.uint16)
+                Image.fromarray(du).save(
+                    os.path.join(root, f"depth/{i}.png"))
+                Image.fromarray((colors[i] * 255).astype(np.uint8)).save(
+                    os.path.join(root, f"rgb/{i}.png"))
+                fd.write(f"{t} depth/{i}.png\n")
+                fr.write(f"{t + 0.001} rgb/{i}.png\n")
+                # pose -> quaternion
+                p = poses[i]
+                from voxelhashing_tpu.io.tum import quat_to_matrix
+                # extract quaternion w >= 0 from rotation matrix
+                r = p[:3, :3]
+                qw = np.sqrt(max(0.0, 1 + r[0, 0] + r[1, 1] + r[2, 2])) / 2
+                qx = (r[2, 1] - r[1, 2]) / (4 * qw)
+                qy = (r[0, 2] - r[2, 0]) / (4 * qw)
+                qz = (r[1, 0] - r[0, 1]) / (4 * qw)
+                fg.write(f"{t} {p[0,3]} {p[1,3]} {p[2,3]} "
+                         f"{qx} {qy} {qz} {qw}\n")
+        return root, depths, colors, poses
+
+    def test_load_and_read(self, tmp_path):
+        root, depths, colors, poses = self._make_tum_dir(tmp_path)
+        seq = tum.load_tum(root, camera=CAM)
+        assert len(seq) == 3
+        d, c, p = seq.read_frame(1)
+        valid = np.isfinite(depths[1])
+        np.testing.assert_allclose(d[valid], depths[1][valid], atol=1e-3)
+        np.testing.assert_allclose(c, colors[1], atol=1 / 255.0)
+        np.testing.assert_allclose(p, poses[1], atol=1e-5)
+
+    def test_quat_identity(self):
+        np.testing.assert_allclose(tum.quat_to_matrix(0, 0, 0, 1), np.eye(3),
+                                   atol=1e-7)
+
+    def test_associate(self):
+        a = [(1.0, "a"), (2.0, "b")]
+        b = [(1.005, "x"), (3.0, "y")]
+        pairs = tum.associate(a, b, max_dt=0.02)
+        assert pairs == [(0, 0)]
