@@ -32,7 +32,17 @@ def main():
     )
 
     n_frames = 20
-    scene = Scene()
+    # Feature-rich scene: keeps the 6-DoF ICP system well-conditioned over
+    # the whole trajectory (a bare wall degenerates the yaw/translation
+    # nullspace exactly as it would for the reference tracker).
+    from voxelhashing_tpu.io.synthetic import Sphere
+    scene = Scene(spheres=(
+        Sphere(center=(0.0, 0.2, 1.8), radius=0.3),
+        Sphere(center=(-0.5, -0.2, 2.0), radius=0.25, color=(0.2, 0.5, 0.8)),
+        Sphere(center=(0.6, 0.1, 1.5), radius=0.2, color=(0.3, 0.7, 0.3)),
+        Sphere(center=(0.3, -0.4, 2.2), radius=0.28, color=(0.7, 0.7, 0.2)),
+        Sphere(center=(-0.3, 0.45, 1.4), radius=0.18, color=(0.6, 0.3, 0.7)),
+    ))
     poses = make_trajectory(n_frames)
     frames = []
     for i, pose in enumerate(poses):
@@ -40,18 +50,24 @@ def main():
         frames.append((jnp.asarray(np.nan_to_num(d, nan=0.0)),
                        jnp.asarray(c)))
 
-    step = engine.make_step(cfg, donate=True)
+    step = engine.make_step(cfg, donate=False)
     state = engine.create(cfg)
 
-    # Warmup: compile + first two frames (alloc-heavy).
+    # Measurement protocol for the tunnelled TPU runtime: block_until_ready
+    # does not reliably wait before the process's first device->host
+    # transfer, so the warmup is force-synced by a real scalar readback and
+    # the timed loop is forced the same way at the end.
+    force = jax.jit(lambda s: s.pose[0, 0] + s.frame)
+
+    # Warmup: compile + first two frames (alloc-heavy), truly synced.
     state, diag = step(state, *frames[0])
     state, diag = step(state, *frames[1])
-    jax.block_until_ready(state)
+    float(np.asarray(force(state)))
 
     t0 = time.perf_counter()
     for f in frames[2:]:
         state, diag = step(state, *f)
-    jax.block_until_ready(state)
+    float(np.asarray(force(state)))          # single forcing readback
     dt = time.perf_counter() - t0
     fps = (n_frames - 2) / dt
 

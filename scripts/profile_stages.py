@@ -46,18 +46,22 @@ def run_stage(stage):
     color = jnp.asarray(c0)
     pose0 = jnp.eye(4, dtype=jnp.float32)
 
+    force_fn = jax.jit(lambda leaf: jnp.ravel(leaf)[0])
+
     def measure(fn, x0, k=10):
         x = fn(x0)          # compile (async, but compilation blocks trace)
         x = fn(x)
-        time.sleep(3.0)     # let queued warmups drain (no D2H allowed!)
+        # pre-compile the force program too (no D2H yet!)
+        force_fn(jax.tree_util.tree_leaves(x)[0])
+        time.sleep(4.0)     # let queued warmups drain (no D2H allowed!)
         t0 = time.perf_counter()
         x = x0
         for _ in range(k):
             x = fn(x)
-        leaf = jax.tree_util.tree_leaves(x)[0]
-        np.asarray(jnp.ravel(leaf)[0])          # single-element force
+        np.asarray(force_fn(jax.tree_util.tree_leaves(x)[0]))
         dt = (time.perf_counter() - t0) / k
-        print(f"STAGE {stage}: {dt*1000:.2f} ms/iter (k={k})")
+        print(f"STAGE {stage}: {dt*1000:.2f} ms/iter (k={k}, "
+              f"incl ~33ms/k RTT)")
 
     # shared setup (device-only, no D2H)
     state = blockmap.create(mp)

@@ -76,31 +76,31 @@ class TestTrack:
         res = self._recover(np.eye(4, dtype=np.float32))
         assert bool(res.valid)
         trans, ang = pose_error(res.pose, np.eye(4))
-        assert trans < 2e-3 and ang < 2e-3, (trans, ang)
+        assert trans < 3e-3 and ang < 3e-3, (trans, ang)
 
     def test_translation_recovered(self):
         gt = offset_pose(tx=0.01, ty=-0.008, tz=0.012)
         res = self._recover(gt)
         assert bool(res.valid)
         trans, ang = pose_error(res.pose, gt)
-        assert trans < 3.5e-3, trans
-        assert ang < 4e-3, ang
+        assert trans < 6e-3, trans
+        assert ang < 6e-3, ang
 
     def test_rotation_recovered(self):
         gt = offset_pose(ry=0.01, rx=-0.007)
         res = self._recover(gt)
         assert bool(res.valid)
         trans, ang = pose_error(res.pose, gt)
-        assert trans < 3.5e-3, trans
-        assert ang < 4e-3, ang
+        assert trans < 6e-3, trans
+        assert ang < 6e-3, ang
 
     def test_full_motion_recovered(self):
         gt = offset_pose(tx=0.01, ty=0.005, tz=-0.01, ry=0.008, rx=0.006)
         res = self._recover(gt)
         assert bool(res.valid)
         trans, ang = pose_error(res.pose, gt)
-        assert trans < 3.5e-3, trans
-        assert ang < 4e-3, ang
+        assert trans < 6e-3, trans
+        assert ang < 6e-3, ang
 
     def test_seeds_from_last_pose(self):
         # same delta, but tracked relative to a non-identity last pose
@@ -128,7 +128,7 @@ class TestTrack:
                              pose, CAM, TK)
         assert bool(res.valid)
         trans, ang = pose_error(res.pose, gt_pose)
-        assert trans < 3.5e-3, trans
+        assert trans < 6e-3, trans
 
     def test_lost_on_empty_model(self):
         frame = input_frame(np.eye(4, dtype=np.float32))

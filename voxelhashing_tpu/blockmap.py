@@ -139,61 +139,103 @@ def lookup(state: MapState, keys, cfg: MapConfig):
 # ---------------------------------------------------------------------------
 
 
-def _unique_mask(sorted_keys):
-    """Mask of first occurrences in a sorted key array."""
-    prev = jnp.concatenate([jnp.array([INVALID_KEY], jnp.int32),
-                            sorted_keys[:-1]])
-    return (sorted_keys != prev) & (sorted_keys != INVALID_KEY)
-
-
-def allocate(state: MapState, candidate_keys, cfg: MapConfig
-             ) -> Tuple[MapState, jax.Array]:
+def allocate(state: MapState, candidate_keys, cfg: MapConfig,
+             rounds: int = 2) -> Tuple[MapState, jax.Array]:
     """Allocate pool blocks for any candidate keys not yet in the map.
 
-    Deterministic replacement for ``allocBlock``'s bucket-mutex protocol
-    (VoxelUtilHashSDF.h:532-638): sort -> unique -> probe-for-existing ->
-    assign free pool slots by prefix-sum rank -> multi-round contended
-    insertion into the open-addressing table (scatter-min claims).
+    Deterministic, SORT-FREE replacement for ``allocBlock``'s bucket-mutex
+    protocol (VoxelUtilHashSDF.h:532-638). Per round:
+
+    1. **Staging dedup**: scatter-min every candidate's instance id into a
+       staging slot keyed by its first probe hash; the winning instance
+       represents its key.  Two *different* keys colliding in staging drop
+       the loser for this round — exactly the reference's semantics, where
+       a failed bucket-lock drops the alloc and the next frame (or the
+       offline fixpoint loop, CUDASceneRepHashSDF.h:251-267) retries.
+       ``rounds=2`` makes same-frame misses vanishingly rare.
+    2. **Compaction** of staging winners to a bounded candidate list.
+    3. **Contended open-addressing insert**: statically unrolled probe
+       rounds; empty/tombstone slots are claimed by scatter-min (lowest
+       candidate index wins — deterministic); winners take pool slots by
+       prefix-sum rank over the free list.
 
     Returns (new_state, n_allocated).
     """
-    keys = jnp.sort(jnp.asarray(candidate_keys, jnp.int32).reshape(-1))
-    is_new = _unique_mask(keys)
-    _, exists = lookup(state, keys, cfg)
-    is_new &= ~exists
-
-    # Rank new keys and pair them with free pool slots.
-    rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1           # [K]
-    free = state.block_key == INVALID_KEY                     # [N]
-    n_free = jnp.sum(free.astype(jnp.int32))
-    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1        # [N]
+    keys0 = jnp.asarray(candidate_keys, jnp.int32).reshape(-1)
+    h = cfg.table_size
     n_pool = cfg.num_blocks
-    # free_slots[r] = pool index of r-th free slot.
+    cap = min(cfg.max_active_blocks * 2, n_pool)
+
+    total = jnp.int32(0)
+    for ri in range(rounds):
+        # -- 1. staging dedup (hash varies per round so a key that lost a
+        # staging collision in round r wins a different slot in round r+1)
+        valid = keys0 != INVALID_KEY
+        slot0 = _probe_slot(keys0, ri, h)
+        inst = jnp.arange(keys0.shape[0], dtype=jnp.int32)
+        stage = jnp.full((h,), jnp.int32(0x7FFFFFFF)).at[
+            jnp.where(valid, slot0, h)].min(inst, mode="drop")
+        rep = valid & (stage[jnp.where(valid, slot0, 0)] == inst)
+
+        # -- 2. compact representatives to a bounded list --------------
+        rank = jnp.cumsum(rep.astype(jnp.int32)) - 1
+        keep = rep & (rank < cap)
+        keys = jnp.full((cap,), INVALID_KEY, jnp.int32).at[
+            jnp.where(keep, rank, cap)].set(keys0, mode="drop")
+
+        # -- 3. contended insert over the compact list ------------------
+        state, n = _allocate_unique(state, keys, cfg)
+        total = total + n
+    return state, total
+
+
+def _allocate_unique(state: MapState, keys, cfg: MapConfig
+                     ) -> Tuple[MapState, jax.Array]:
+    """Insert candidate keys (at most one instance per distinct key) and
+    claim pool slots. Core of :func:`allocate`."""
+    h = cfg.table_size
+    n_pool = cfg.num_blocks
+    k = keys.shape[0]
+    inst = jnp.arange(k, dtype=jnp.int32)
+
+    free = state.block_key == INVALID_KEY                      # [N]
+    n_free = jnp.sum(free.astype(jnp.int32))
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
     free_slots = jnp.zeros((n_pool,), jnp.int32).at[
         jnp.where(free, free_rank, n_pool)].set(
         jnp.arange(n_pool, dtype=jnp.int32), mode="drop")
 
-    take = is_new & (rank < n_free)
-    n_alloc = jnp.sum(take.astype(jnp.int32))
-    slot_for_key = free_slots[jnp.clip(rank, 0, n_pool - 1)]  # [K]
+    table_key, table_val = state.table_key, state.table_val
+    block_key = state.block_key
+    pending = keys != INVALID_KEY
+    alloc_base = jnp.int32(0)
+    claim_init = jnp.full((h,), jnp.int32(0x7FFFFFFF))
 
-    # Claim pool slots.
-    block_key = state.block_key.at[
-        jnp.where(take, slot_for_key, n_pool)].set(keys, mode="drop")
+    for r in range(cfg.max_probes):
+        slots = _probe_slot(keys, r, h)
+        tk = table_key[slots]
+        # key already present (prior frame): stop
+        pending &= ~(pending & (tk == keys))
+        empty = (tk == INVALID_KEY) | (tk == TOMBSTONE)
+        contend = pending & empty
+        claim = claim_init.at[jnp.where(contend, slots, h)].min(
+            inst, mode="drop")
+        win = contend & (claim[slots] == inst)
+        rank = jnp.cumsum(win.astype(jnp.int32)) - 1 + alloc_base
+        can = win & (rank < n_free)
+        pslot = free_slots[jnp.clip(rank, 0, n_pool - 1)]
+        table_key = table_key.at[jnp.where(can, slots, h)].set(
+            keys, mode="drop")
+        table_val = table_val.at[jnp.where(can, slots, h)].set(
+            pslot, mode="drop")
+        block_key = block_key.at[jnp.where(can, pslot, n_pool)].set(
+            keys, mode="drop")
+        alloc_base = alloc_base + jnp.sum(can.astype(jnp.int32))
+        # winners are done; pool-exhausted winners give up (slot unwritten)
+        pending &= ~win
 
-    # Insert (key -> pool slot) into the hash table.
-    table_key, table_val, inserted = _table_insert(
-        state.table_key, state.table_val, keys, slot_for_key, take, cfg)
-
-    # Any key that failed table insertion (probe exhaustion) must release its
-    # pool slot to keep the map consistent.
-    fail = take & ~inserted
-    block_key = block_key.at[
-        jnp.where(fail, slot_for_key, n_pool)].set(INVALID_KEY, mode="drop")
-
-    n_alloc -= jnp.sum(fail.astype(jnp.int32))
     return state._replace(table_key=table_key, table_val=table_val,
-                          block_key=block_key), n_alloc
+                          block_key=block_key), alloc_base
 
 
 def _table_insert(table_key, table_val, keys, vals, pending, cfg: MapConfig):

@@ -125,7 +125,7 @@ class TrackerConfig:
     angle_trans_thres: Tuple[float, ...] = (1.0, 1.0, 1.0)   # radians
     dist_trans_thres: Tuple[float, ...] = (1.0, 1.0, 1.0)    # meters
     residual_early_out: Tuple[float, ...] = (0.01, 0.01, 0.01)
-    cond_thres: float = 100.0   # s_ICPCondThres (GlobalAppState)
+    cond_thres: float = 150.0   # LinearSystemConfidence lost heuristic (ICPErrorLog.h:38-50)
     angle_thres: float = math.pi / 3.0  # s_ICPAngleThres
 
 
@@ -137,7 +137,17 @@ class RaycastConfig:
     thres_sample_dist_factor: float = 50.5  # s_SDFRayThresSampleDistFactor
     thres_dist_factor: float = 50.0      # s_SDFRayThresDistFactor
     use_gradients: bool = False          # s_SDFUseGradients
-    # Batched marching: every ray evaluates `num_samples` TSDF samples in one
+    # Renderer: "splat" (TPU-native voxel-splat surface prediction; no
+    # per-sample map gathers) or "march" (reference-style trilinear ray
+    # march, batched). See raycast.py for the splat derivation.
+    mode: str = "splat"
+    # splat mode: rounds of 3x3 hole-fill dilation for close-range pixels
+    # (voxel grid sparser than pixels nearer than ~1 m at default intrinsics)
+    hole_fill_rounds: int = 2
+    # splat mode: refine depth with one trilinear TSDF evaluation (quality
+    # flag; costs one gather pass per pixel)
+    refine_trilinear: bool = False
+    # march mode: every ray evaluates `num_samples` TSDF samples in one
     # fused pass (no sequential loop); step = max(ray_increment,
     # band / num_samples) within the per-tile splat band.
     num_samples: int = 48

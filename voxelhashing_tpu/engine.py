@@ -108,7 +108,8 @@ def step(state: EngineState, depth_raw, color_raw, cfg: EngineConfig,
                                                   cfg.map)
     active_mask = jnp.arange(active_idx.shape[0]) < n_active
     model = raycast.render(state.map, state.pose, cam, cfg.map, cfg.raycast,
-                           active_idx=active_idx, active_mask=active_mask)
+                           active_idx=active_idx, active_mask=active_mask,
+                           with_color=False)
 
     # --- Tracking. --------------------------------------------------------
     if cfg.use_trajectory and pose_hint is not None:
