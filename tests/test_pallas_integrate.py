@@ -1,0 +1,68 @@
+"""Pallas integrate kernel vs the XLA reference path (interpret mode)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from voxelhashing_tpu import blockmap, geometry as geom, integrate
+from voxelhashing_tpu.config import CameraConfig, MapConfig
+from voxelhashing_tpu.io.synthetic import Scene, render_depth
+from voxelhashing_tpu.ops.pallas_integrate import integrate_pallas
+
+CAM = CameraConfig(width=128, height=96, fx=104.0, fy=104.0,
+                   cx=63.5, cy=47.5)
+CFG = MapConfig(voxel_size=0.02, truncation=0.06, truncation_scale=0.01,
+                num_blocks=4096, table_size=16384,
+                max_active_blocks=4096, world_blocks=1024)
+SCENE = Scene()
+
+
+def setup_state():
+    depth, color = render_depth(np.eye(4, dtype=np.float32), CAM, SCENE)
+    depth, color = jnp.asarray(depth), jnp.asarray(color)
+    pose = jnp.eye(4)
+    state = blockmap.create(CFG)
+    state, _ = integrate.allocate_from_depth(state, depth, pose, CAM, CFG)
+    view = geom.invert_rigid(pose)
+    active_idx, n_active, _ = blockmap.compactify(state, view, CAM, CFG)
+    return state, depth, color, pose, active_idx, n_active
+
+
+class TestPallasIntegrateInterpret:
+    def test_matches_xla_path(self):
+        state, depth, color, pose, active_idx, n_active = setup_state()
+        mask = jnp.arange(active_idx.shape[0]) < n_active
+
+        ref = integrate.integrate(state, depth, color, pose, CAM, CFG,
+                                  active_idx=active_idx, active_mask=mask)
+        out = integrate_pallas(state, depth, color, pose, CAM, CFG,
+                               active_idx, n_active, interpret=True)
+
+        w_ref = np.asarray(ref.weight)
+        w_out = np.asarray(out.weight)
+        updated = w_ref > 0
+        # weights agree exactly where updated
+        np.testing.assert_allclose(w_out, w_ref, atol=1e-3)
+        # sdf agrees to bf16-limb depth precision (~0.1 mm at these ranges)
+        s_ref = np.asarray(ref.sdf)[updated]
+        s_out = np.asarray(out.sdf)[updated]
+        np.testing.assert_allclose(s_out, s_ref, atol=5e-4)
+        # colors agree within 1/255 per channel
+        c_ref = np.asarray(ref.color)[updated]
+        c_out = np.asarray(out.color)[updated]
+        for shift in (16, 8, 0):
+            a = (c_ref >> shift) & 0xFF
+            b = (c_out >> shift) & 0xFF
+            assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+    def test_second_fusion_accumulates(self):
+        state, depth, color, pose, active_idx, n_active = setup_state()
+        out1 = integrate_pallas(state, depth, color, pose, CAM, CFG,
+                                active_idx, n_active, interpret=True)
+        out2 = integrate_pallas(out1, depth, color, pose, CAM, CFG,
+                                active_idx, n_active, interpret=True)
+        w1 = np.asarray(out1.weight)
+        w2 = np.asarray(out2.weight)
+        upd = w1 > 0
+        assert (w2[upd] >= w1[upd]).all()
+        assert (w2[upd] > w1[upd]).any()

@@ -73,8 +73,14 @@ def _integrate_frame(state: MapState, frame: FrameInputs, pose,
     view = geom.invert_rigid(pose)
     active_idx, n_active, overflow = blockmap.compactify(state, view, cam, mp)
     active_mask = jnp.arange(active_idx.shape[0]) < n_active
-    state = integ.integrate(state, frame.depth, frame.color, pose, cam, mp,
-                            active_idx=active_idx, active_mask=active_mask)
+    if jax.default_backend() == "tpu":
+        from .ops.pallas_integrate import integrate_pallas
+        state = integrate_pallas(state, frame.depth, frame.color, pose,
+                                 cam, mp, active_idx, n_active)
+    else:
+        state = integ.integrate(state, frame.depth, frame.color, pose, cam,
+                                mp, active_idx=active_idx,
+                                active_mask=active_mask)
     if mp.gc_enabled:
         def run_gc(s):
             s = integ.starve(s, active_idx, active_mask)
