@@ -1,0 +1,102 @@
+"""Distributed (8-virtual-device) map-sharded step vs single-device run."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from voxelhashing_tpu import blockmap, engine, evaluation
+from voxelhashing_tpu.config import (CameraConfig, EngineConfig, FilterConfig,
+                                     MapConfig, RaycastConfig, TrackerConfig)
+from voxelhashing_tpu.io.synthetic import Scene, make_trajectory, render_depth
+from voxelhashing_tpu.parallel import sharded
+
+CAM = CameraConfig(width=128, height=96, fx=104.0, fy=104.0,
+                   cx=63.5, cy=47.5)
+CFG = EngineConfig(
+    camera=CAM,
+    map=MapConfig(voxel_size=0.02, truncation=0.06, truncation_scale=0.01,
+                  num_blocks=16384, table_size=65536,
+                  max_active_blocks=16384),
+    tracker=TrackerConfig(levels=2, max_outer_iter=(6, 4),
+                          max_inner_iter=(1, 1),
+                          dist_thres=(0.15, 0.15), normal_thres=(0.9, 0.9),
+                          angle_trans_thres=(1.0, 1.0),
+                          dist_trans_thres=(1.0, 1.0),
+                          residual_early_out=(1e-9, 1e-9)),
+    filter=FilterConfig(depth_filter=False),
+)
+SCENE = Scene()
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return jax.sharding.Mesh(np.array(devs[:8]), ("d",))
+
+
+def run_sharded(mesh, n_frames):
+    poses = make_trajectory(n_frames)
+    step = sharded.make_sharded_step(CFG, mesh)
+    state, lcfg = sharded.create_sharded(CFG, mesh, initial_pose=poses[0])
+    est = []
+    for i, p in enumerate(poses):
+        d, c = render_depth(p, CAM, SCENE)
+        state, pose = step(state, jnp.asarray(np.nan_to_num(d, nan=0.0)),
+                           jnp.asarray(c))
+        est.append(np.asarray(pose))
+    return state, lcfg, est, poses
+
+
+class TestSharded:
+    def test_tracks_and_partitions(self, mesh):
+        state, lcfg, est, gt = run_sharded(mesh, 6)
+        ate = evaluation.ate_rmse(est, gt, align=False)
+        assert ate < 0.012, ate
+
+        # every device owns a disjoint, hash-consistent key partition
+        stacked = jax.device_get(state.map)
+        from voxelhashing_tpu.geometry import INVALID_KEY
+        all_keys = []
+        for d in range(8):
+            keys = stacked.block_key[d]
+            keys = keys[keys != INVALID_KEY]
+            owner = (np.asarray(
+                blockmap._mix(jnp.asarray(keys, jnp.uint32))) % 8)
+            assert (owner == d).all()
+            all_keys.append(keys)
+        flat = np.concatenate(all_keys)
+        assert len(flat) == len(np.unique(flat))   # no duplicates anywhere
+        assert len(flat) > 200
+
+    def test_matches_single_device_map(self, mesh):
+        state, lcfg, est, gt = run_sharded(mesh, 4)
+        # single-device reference with the same (gt-free) pipeline
+        step1 = engine.make_step(CFG, donate=False)
+        s1 = engine.create(CFG, initial_pose=gt[0])
+        for i, p in enumerate(gt):
+            d, c = render_depth(p, CAM, SCENE)
+            s1, _ = step1(s1, jnp.asarray(np.nan_to_num(d, nan=0.0)),
+                          jnp.asarray(c))
+        from voxelhashing_tpu.geometry import INVALID_KEY
+        stacked = jax.device_get(state.map)
+        n_sharded = sum(int((stacked.block_key[d] != INVALID_KEY).sum())
+                        for d in range(8))
+        n_single = int(blockmap.stats(s1.map, CFG.map)["n_allocated"])
+        # same scene coverage within a few % (pose estimates differ slightly)
+        assert abs(n_sharded - n_single) < 0.1 * n_single, \
+            (n_sharded, n_single)
+
+    def test_gather_map(self, mesh):
+        state, lcfg, est, gt = run_sharded(mesh, 3)
+        merged = sharded.gather_map(state, lcfg, CFG.map)
+        viol = blockmap.check_invariants(merged, CFG.map)
+        assert all(v == 0 for v in viol.values()), viol
+        stacked = jax.device_get(state.map)
+        from voxelhashing_tpu.geometry import INVALID_KEY
+        n_sharded = sum(int((stacked.block_key[d] != INVALID_KEY).sum())
+                        for d in range(8))
+        assert int(blockmap.stats(merged, CFG.map)["n_allocated"]) \
+            == n_sharded

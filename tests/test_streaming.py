@@ -1,0 +1,124 @@
+"""Streaming (HBM<->host tiering) and checkpoint round trips."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from voxelhashing_tpu import blockmap, integrate, streaming
+from voxelhashing_tpu.config import CameraConfig, MapConfig, StreamingConfig
+from voxelhashing_tpu.geometry import INVALID_KEY
+from voxelhashing_tpu.io.synthetic import Scene, render_depth
+
+CAM = CameraConfig(width=80, height=60, fx=65.0, fy=65.0, cx=39.5, cy=29.5)
+CFG = MapConfig(voxel_size=0.02, truncation=0.06, truncation_scale=0.01,
+                num_blocks=8192, table_size=32768,
+                max_active_blocks=8192, world_blocks=1024)
+SCFG = StreamingConfig(enabled=True, chunk_size=0.64, grid_dim=65,
+                       radius=1.5, out_parts=4, in_chunks_per_frame=4)
+SCENE = Scene(wall_z=2.0, floor_y=None, spheres=())
+
+
+def fused_state():
+    depth, color = render_depth(np.eye(4, dtype=np.float32), CAM, SCENE)
+    depth, color = jnp.asarray(depth), jnp.asarray(color)
+    pose = jnp.eye(4)
+    state = blockmap.create(CFG)
+    state, _ = integrate.allocate_from_depth(state, depth, pose, CAM, CFG)
+    state = integrate.integrate(state, depth, color, pose, CAM, CFG)
+    return state
+
+
+class TestStreaming:
+    def test_out_then_in_preserves_blocks(self):
+        state = fused_state()
+        n0 = int(blockmap.stats(state, CFG)["n_allocated"])
+        sdf0 = np.asarray(state.sdf).copy()
+        keys0 = set(np.asarray(state.block_key).tolist()) - {INVALID_KEY}
+
+        mgr = streaming.StreamingManager(CFG, SCFG, out_cap=8192)
+        cam_pos = np.array([0.0, 0.0, 0.0], np.float32)
+        # wall at 2.0 > radius 1.5 -> everything streams out over the sweep
+        for _ in range(SCFG.out_parts):
+            state, _ = mgr.stream_out(state, cam_pos)
+        assert int(blockmap.stats(state, CFG)["n_allocated"]) == 0
+        assert mgr.host_block_count() == n0
+        viol = blockmap.check_invariants(state, CFG)
+        assert all(v == 0 for v in viol.values()), viol
+
+        # sweep the camera across the wall -> every chunk passes the
+        # conservative whole-chunk-in-sphere test somewhere
+        for cx in (-1.0, 0.0, 1.0):
+            for cy_ in (-1.0, 0.0, 1.0):
+                near = np.array([cx, cy_, 2.0], np.float32)
+                for _ in range(32):
+                    state, moved = mgr.stream_in(state, near)
+                    if moved == 0:
+                        break
+        assert mgr.host_block_count() == 0
+        n1 = int(blockmap.stats(state, CFG)["n_allocated"])
+        assert n1 == n0
+        keys1 = set(np.asarray(state.block_key).tolist()) - {INVALID_KEY}
+        assert keys0 == keys1
+        # payloads survive the round trip
+        k = sorted(keys0)[len(keys0) // 2]
+        pi0 = int(np.flatnonzero(np.asarray(fused_state().block_key) == k)[0])
+        pi1 = int(np.flatnonzero(np.asarray(state.block_key) == k)[0])
+        np.testing.assert_allclose(np.asarray(state.sdf)[pi1], sdf0[pi0],
+                                   atol=1e-6)
+        viol = blockmap.check_invariants(state, CFG)
+        assert all(v == 0 for v in viol.values()), viol
+
+    def test_bitmask_blocks_reallocation(self):
+        state = fused_state()
+        mgr = streaming.StreamingManager(CFG, SCFG, out_cap=8192)
+        cam_pos = np.array([0.0, 0.0, 0.0], np.float32)
+        for _ in range(SCFG.out_parts):
+            state, _ = mgr.stream_out(state, cam_pos)
+        # candidates for the evicted wall must be masked off
+        depth, _ = render_depth(np.eye(4, dtype=np.float32), CAM, SCENE)
+        keys = integrate.alloc_candidates(jnp.asarray(depth), jnp.eye(4),
+                                          CAM, CFG)
+        masked = mgr.alloc_mask_keys(keys)
+        assert np.all(np.asarray(masked) == INVALID_KEY)
+
+    def test_in_sphere_blocks_stay(self):
+        state = fused_state()
+        n0 = int(blockmap.stats(state, CFG)["n_allocated"])
+        mgr = streaming.StreamingManager(CFG, SCFG, out_cap=8192)
+        near = np.array([0.0, 0.0, 2.0], np.float32)   # camera at the wall
+        for _ in range(SCFG.out_parts):
+            state, _ = mgr.stream_out(state, near)
+        # most of the wall is within 1.5m of (0,0,2)
+        n1 = int(blockmap.stats(state, CFG)["n_allocated"])
+        assert n1 > 0.5 * n0
+
+
+class TestCheckpoint:
+    def test_save_load_roundtrip(self, tmp_path):
+        state = fused_state()
+        path = os.path.join(tmp_path, "map.npz")
+        poses = np.stack([np.eye(4, dtype=np.float32)] * 3)
+        n = streaming.save_map(path, state, CFG, poses=poses)
+        assert n == int(blockmap.stats(state, CFG)["n_allocated"])
+
+        state2, poses2 = streaming.load_map(path, CFG)
+        assert int(blockmap.stats(state2, CFG)["n_allocated"]) == n
+        np.testing.assert_allclose(poses2, poses)
+        # same content at a probe voxel
+        vox = jnp.asarray([[0, 0, 100]], jnp.int32)  # z=2.0/0.02
+        s1, w1, _ = blockmap.gather_voxels(state, vox, CFG)
+        s2, w2, _ = blockmap.gather_voxels(state2, vox, CFG)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-7)
+        np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), atol=1e-7)
+        viol = blockmap.check_invariants(state2, CFG)
+        assert all(v == 0 for v in viol.values()), viol
+
+    def test_geometry_mismatch_rejected(self, tmp_path):
+        import dataclasses, pytest
+        state = fused_state()
+        path = os.path.join(tmp_path, "map.npz")
+        streaming.save_map(path, state, CFG)
+        bad = dataclasses.replace(CFG, voxel_size=0.01)
+        with pytest.raises(ValueError):
+            streaming.load_map(path, bad)

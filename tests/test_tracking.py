@@ -138,3 +138,30 @@ class TestTrack:
         assert not bool(res.valid)
         # lost keeps the last pose
         np.testing.assert_array_equal(np.asarray(res.pose), np.eye(4))
+
+
+class TestRGBDTracking:
+    def test_joint_depth_intensity_recovers_pose(self):
+        from voxelhashing_tpu.ops.image import color_to_intensity
+        gt = offset_pose(tx=0.01, ty=0.005, rx=0.006)
+        state, model = build_model()
+        model_int = color_to_intensity(model.color)
+        frame = input_frame(gt)
+        res = tracking.track(frame.points, frame.normals,
+                             model.points, model.normals,
+                             jnp.eye(4), CAM, TK,
+                             input_intensity=frame.intensity,
+                             model_intensity=model_int,
+                             weight_color=0.05)
+        assert bool(res.valid)
+        trans, ang = pose_error(res.pose, gt)
+        # splat-model colors are noisiest exactly at the texture boundaries
+        # the photometric term keys on; allow slightly looser than depth-only
+        assert trans < 7e-3, trans
+        assert ang < 7e-3, ang
+
+    def test_intensity_gradients(self):
+        img = jnp.asarray(np.tile(np.arange(8, dtype=np.float32), (6, 1)))
+        gx, gy = tracking.intensity_gradients(img)
+        np.testing.assert_allclose(np.asarray(gx[:, 1:-1]), 1.0)
+        np.testing.assert_allclose(np.asarray(gy[1:-1, :]), 0.0)

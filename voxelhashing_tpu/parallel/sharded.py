@@ -1,0 +1,237 @@
+"""Multi-device map sharding: the distributed reconstruction step.
+
+The reference is strictly single-GPU (SURVEY.md §2.10); this module is the
+pod-scale design the TPU build adds, expressed as SPMD ``shard_map`` over a
+``jax.sharding.Mesh``:
+
+* **Map parallelism** (the SLAM analog of sequence parallelism): voxel
+  blocks are partitioned by key hash — device ``d`` owns key ``k`` iff
+  ``mix(k) % D == d``.  Every device holds a full local :class:`MapState`
+  of 1/D capacity (its own open-addressing table + pool), so allocation,
+  integration, compaction and GC are entirely local — zero communication.
+* **Frame data is replicated** (an RGB-D frame is ~1 MB; ICI broadcast is
+  cheap compared to partitioning voxel work).
+* **Raycast**: every device splats its own blocks' surface voxels into a
+  local z-buffer; a single ``lax.pmin`` over the mesh combines them into
+  the global surface prediction (one collective per frame).
+* **Tracking**: each device builds the 6x6 point-to-plane system over its
+  row-shard of the image; ``lax.psum`` reduces (A, b, residual, count) and
+  every device solves the tiny system redundantly — only collectives of
+  6x6+6 floats cross the interconnect per Gauss-Newton iteration (the
+  reference reads partial sums back to the CPU every iteration,
+  CUDABuildLinearSystem.cpp:45; here nothing leaves the devices).
+
+All collectives ride the mesh axis ("d"), i.e. ICI on a real slice.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import CameraConfig, EngineConfig, MapConfig
+from .. import blockmap, geometry as geom, integrate as integ, raycast, tracking
+from ..blockmap import MapState
+from ..geometry import INVALID_KEY
+from ..ops.image import preprocess
+
+AXIS = "d"
+
+
+def local_map_config(cfg: MapConfig, n_devices: int) -> MapConfig:
+    """Per-device map config: 1/D of the pool/table/active capacity."""
+    return dataclasses.replace(
+        cfg,
+        num_blocks=max(cfg.num_blocks // n_devices, 64),
+        table_size=max(cfg.table_size // n_devices, 256),
+        max_active_blocks=max(cfg.max_active_blocks // n_devices, 64),
+    )
+
+
+def _owned(keys, n_devices):
+    """Mask candidate keys to this device's hash partition."""
+    me = lax.axis_index(AXIS)
+    owner = (blockmap._mix(jnp.asarray(keys, jnp.uint32))
+             % jnp.uint32(n_devices)).astype(jnp.int32)
+    return jnp.where((owner == me) & (keys != INVALID_KEY), keys,
+                     INVALID_KEY)
+
+
+class ShardedState(NamedTuple):
+    map: MapState          # leading axis = device shard
+    pose: jax.Array        # replicated f32[4,4]
+    frame: jax.Array       # replicated i32[]
+
+
+def create_sharded(cfg: EngineConfig, mesh: Mesh,
+                   initial_pose=None) -> Tuple[ShardedState, MapConfig]:
+    """Build a device-sharded engine state on ``mesh``."""
+    n_dev = mesh.devices.size
+    lcfg = local_map_config(cfg.map, n_dev)
+    local = blockmap.create(lcfg)
+    # stack a leading device axis and shard it
+    stacked = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[None], (n_dev,) + x.shape), local)
+    shard = NamedSharding(mesh, P(AXIS))
+    stacked = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, shard), stacked)
+    pose = jnp.eye(4, dtype=jnp.float32) if initial_pose is None \
+        else jnp.asarray(initial_pose, jnp.float32)
+    return ShardedState(map=stacked, pose=pose, frame=jnp.int32(0)), lcfg
+
+
+def make_sharded_step(cfg: EngineConfig, mesh: Mesh):
+    """jit-compiled distributed per-frame step over ``mesh``.
+
+    Returns ``fn(sharded_state, depth, color) -> (sharded_state, pose)``.
+    """
+    n_dev = mesh.devices.size
+    lcfg = local_map_config(cfg.map, n_dev)
+    cam = cfg.camera
+
+    def local_step(mstate_b, pose, frame_idx, depth, color):
+        # shard_map passes the local block of the leading axis: [1, ...]
+        mstate = jax.tree_util.tree_map(lambda x: x[0], mstate_b)
+        frame = preprocess(depth, color, cam, cfg.filter)
+
+        # ---- raycast own blocks + pmin combine -------------------------
+        view = geom.invert_rigid(pose)
+        active_idx, n_active, _ = blockmap.compactify(mstate, view, cam,
+                                                      lcfg)
+        active_mask = jnp.arange(active_idx.shape[0]) < n_active
+        model = raycast.render_splat(mstate, pose, cam, lcfg, cfg.raycast,
+                                     active_idx=active_idx,
+                                     active_mask=active_mask,
+                                     with_color=False)
+        zloc = jnp.where(jnp.isfinite(model.depth), model.depth, jnp.inf)
+        zglob = lax.pmin(zloc, AXIS)
+        gdepth = jnp.where(jnp.isfinite(zglob), zglob, jnp.nan)
+        u, v = geom.pixel_grid(cam.width, cam.height)
+        gpts = geom.screen_to_camera(u, v, gdepth, cam)
+        gpts = jnp.where(jnp.isfinite(gdepth)[..., None], gpts, jnp.nan)
+        gnrm = geom.normals_from_points(gpts)
+
+        # ---- tracking: row-shard residuals + psum'd 6x6 system ---------
+        me = lax.axis_index(AXIS)
+        rows = cam.height // n_dev
+        r0 = me * rows
+        in_p = lax.dynamic_slice_in_dim(frame.points, r0, rows, axis=0)
+        in_n = lax.dynamic_slice_in_dim(frame.normals, r0, rows, axis=0)
+        tr = _track_distributed(in_p, in_n, gpts, gnrm, pose, cam,
+                                cfg.tracker)
+        is_first = frame_idx == 0
+        new_pose = jnp.where(is_first | ~tr.valid, pose, tr.pose)
+        do_int = tr.valid | is_first
+
+        # ---- allocate + integrate own partition ------------------------
+        def integrate_branch(m):
+            keys = integ.alloc_candidates(frame.depth, new_pose, cam, lcfg)
+            keys = _owned(keys, n_dev)
+            m, _ = blockmap.allocate(m, keys, lcfg)
+            view2 = geom.invert_rigid(new_pose)
+            ai, na, _ = blockmap.compactify(m, view2, cam, lcfg)
+            am = jnp.arange(ai.shape[0]) < na
+            m = integ.integrate(m, frame.depth, frame.color, new_pose,
+                                cam, lcfg, active_idx=ai, active_mask=am)
+            return m
+
+        mstate = lax.cond(do_int, integrate_branch, lambda m: m, mstate)
+        mstate_b = jax.tree_util.tree_map(lambda x: x[None], mstate)
+        return mstate_b, new_pose, frame_idx + 1
+
+    smapped = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(AXIS), P(), P(), P(), P()),
+        out_specs=(P(AXIS), P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(state: ShardedState, depth, color):
+        m, pose, fidx = smapped(state.map, state.pose, state.frame,
+                                depth, color)
+        return ShardedState(map=m, pose=pose, frame=fidx), pose
+
+    return step
+
+
+def _track_distributed(in_p, in_n, md_p, md_n, last_pose,
+                       cam: CameraConfig, cfg):
+    """Coarse-to-fine ICP where every (A, b) is psum'd over the mesh.
+
+    Input maps are this device's ROW SHARD; the model maps are global.
+    Correspondence projection indexes the full model image, so only the
+    reduction needs communication.
+    """
+    levels = cfg.levels
+    in_pyr = tracking.build_pyramid(in_p, in_n, levels)
+    md_pyr = tracking.build_pyramid(md_p, md_n, levels)
+
+    delta = jnp.eye(4, dtype=jnp.float32)
+    lost = jnp.array(False)
+    residual = jnp.float32(0.0)
+    corr = jnp.int32(0)
+    condition = jnp.float32(0.0)
+
+    for level in range(levels - 1, -1, -1):
+        cam_l = tracking._level_camera(cam, level)
+        ip, inn = in_pyr[level]
+        mp, mn = md_pyr[level]
+        done = jnp.array(False)
+        last_res = jnp.float32(jnp.inf)
+        for _ in range(cfg.max_outer_iter[level]):
+            a, b, sum_res, sum_w, count = tracking._build_system(
+                delta, ip, inn, mp, mn, cam_l,
+                cfg.dist_thres[level], cfg.normal_thres[level],
+                cam.depth_min, cam.depth_max)
+            a = lax.psum(a, AXIS)
+            b = lax.psum(b, AXIS)
+            sum_res = lax.psum(sum_res, AXIS)
+            sum_w = lax.psum(sum_w, AXIS)
+            count = lax.psum(count, AXIS)
+            mean_res = sum_res / jnp.maximum(sum_w, 1e-12)
+            done |= jnp.abs(last_res - mean_res) \
+                < cfg.residual_early_out[level]
+            last_res = mean_res
+            x, cond, degen = tracking._solve6(a, b, cfg.cond_thres)
+            step_ok = tracking._check_step(
+                x, cfg.angle_trans_thres[level], cfg.dist_trans_thres[level])
+            bad = degen | ~step_ok | (count < 64)
+            lost |= bad & ~done
+            use = ~done & ~bad
+            delta = jnp.where(use, geom.pose_from_x(x) @ delta, delta)
+            residual = jnp.where(use | done, mean_res, residual)
+            corr = jnp.where(use | done, count, corr)
+            condition = jnp.where(use, cond, condition)
+            done |= bad
+
+    new_pose = last_pose @ delta
+    valid = ~lost & jnp.all(jnp.isfinite(new_pose))
+    pose_out = jnp.where(valid, new_pose, last_pose)
+    return tracking.TrackingResult(pose=pose_out, valid=valid,
+                                   residual=residual, corr_count=corr,
+                                   condition=condition)
+
+
+def gather_map(state: ShardedState, lcfg: MapConfig, cfg: MapConfig
+               ) -> MapState:
+    """Merge all device shards into one single-device MapState (for
+    meshing / checkpoint / verification)."""
+    stacked = jax.device_get(state.map)
+    merged = blockmap.create(cfg)
+    from ..streaming import insert_blocks
+    ins = jax.jit(lambda s, k, sd, w, c: insert_blocks(s, k, sd, w, c, cfg))
+    n_dev = stacked.block_key.shape[0]
+    for d in range(n_dev):
+        keys = jnp.asarray(stacked.block_key[d])
+        merged, _ = ins(merged, keys, jnp.asarray(stacked.sdf[d]),
+                        jnp.asarray(stacked.weight[d]),
+                        jnp.asarray(stacked.color[d]))
+    return merged

@@ -152,19 +152,88 @@ def _check_step(x, angle_thres: float, dist_thres: float):
     return (ang <= angle_thres) & (jnp.linalg.norm(x[3:6]) <= dist_thres)
 
 
+def _build_system_color(delta, in_pts, in_int, tgt_int, tgt_gx, tgt_gy,
+                        cam: CameraConfig, dist_sigma: float):
+    """Photometric (intensity) rows of the joint RGB-D system.
+
+    The reference's RGBD variant adds intensity + intensity-derivative
+    residuals (CUDABuildLinearSystemRGBD.cu:78-104, jacobians from
+    ICPUtil.h dehomogenize-derivative :16-28): residual
+    e = I_model(pi(delta p)) - I_input(p); the jacobian row is
+    a = J_pi^T grad(I); j = [(p x a) reversed | a].
+    """
+    r = delta[:3, :3]
+    p = in_pts @ r.T + delta[:3, 3]
+
+    uv = geom.camera_to_screen_int(p, cam)
+    ui = jnp.clip(uv[..., 0], 0, cam.width - 1)
+    vi = jnp.clip(uv[..., 1], 0, cam.height - 1)
+    on = ((uv[..., 0] >= 0) & (uv[..., 0] < cam.width)
+          & (uv[..., 1] >= 0) & (uv[..., 1] < cam.height))
+
+    i_t = tgt_int[vi, ui]
+    gx = tgt_gx[vi, ui]
+    gy = tgt_gy[vi, ui]
+    e = i_t - in_int
+
+    z = jnp.where(p[..., 2] == 0.0, 1e-12, p[..., 2])
+    # a = J_pi^T [gx, gy]
+    ax = gx * cam.fx / z
+    ay = gy * cam.fy / z
+    az = -(gx * cam.fx * p[..., 0] + gy * cam.fy * p[..., 1]) / (z * z)
+    a = jnp.stack([ax, ay, az], axis=-1)
+
+    ok = (on & jnp.all(jnp.isfinite(p), axis=-1) & jnp.isfinite(in_int)
+          & jnp.isfinite(i_t) & jnp.isfinite(gx) & jnp.isfinite(gy)
+          & (jnp.abs(e) < dist_sigma))
+    wgt = jnp.where(ok, 1.0 - jnp.abs(e) / dist_sigma, 0.0)
+
+    cr = jnp.cross(p, a)
+    j = jnp.concatenate([cr[..., ::-1], a], axis=-1)
+    j = jnp.where(ok[..., None], j, 0.0)
+    e = jnp.where(ok, e, 0.0)
+    jw = j * wgt[..., None]
+    a_mat = jnp.einsum("...i,...j->ij", jw, j)
+    b = -jnp.sum(jw * e[..., None], axis=tuple(range(e.ndim)))
+    return a_mat, b, jnp.sum(wgt * e * e), jnp.sum(wgt), \
+        jnp.sum(ok.astype(jnp.int32))
+
+
+def intensity_gradients(intensity):
+    """Central-difference image gradients (the intensity-derivative maps of
+    CameraTrackingInput.h:17-27)."""
+    gx = jnp.zeros_like(intensity)
+    gy = jnp.zeros_like(intensity)
+    gx = gx.at[:, 1:-1].set(0.5 * (intensity[:, 2:] - intensity[:, :-2]))
+    gy = gy.at[1:-1, :].set(0.5 * (intensity[2:, :] - intensity[:-2, :]))
+    return gx, gy
+
+
 def track(input_points, input_normals, model_points, model_normals,
-          last_pose, cam: CameraConfig, cfg: TrackerConfig
-          ) -> TrackingResult:
+          last_pose, cam: CameraConfig, cfg: TrackerConfig,
+          input_intensity=None, model_intensity=None,
+          weight_depth: float = 1.0, weight_color: float = 0.1,
+          color_sigma: float = 0.1) -> TrackingResult:
     """Align the current frame to the raycast model; returns the new pose.
 
     ``input_*``: current-frame camera-space maps; ``model_*``: raycast maps
     in the last pose's camera frame. The solved delta maps current-frame
     camera space to last-frame camera space; new_pose = last_pose @ delta
     (the reference's applyCT contract, CUDACameraTrackingMultiRes.cpp:252-348).
+
+    When both intensities are given, photometric residuals join the system
+    (the RGBD variant, CUDACameraTrackingMultiResRGBD; disabled by default
+    like the reference's useRGBDTracking=false, DepthSensing.cpp:816).
     """
     levels = cfg.levels
     in_pyr = build_pyramid(input_points, input_normals, levels)
     md_pyr = build_pyramid(model_points, model_normals, levels)
+    use_rgbd = input_intensity is not None and model_intensity is not None
+    if use_rgbd:
+        ii_pyr, mi_pyr = [input_intensity], [model_intensity]
+        for _ in range(1, levels):
+            ii_pyr.append(resample_half(ii_pyr[-1]))
+            mi_pyr.append(resample_half(mi_pyr[-1]))
 
     delta = jnp.eye(4, dtype=jnp.float32)
     lost = jnp.array(False)
@@ -183,6 +252,15 @@ def track(input_points, input_normals, model_points, model_normals,
                 delta, in_p, in_n, md_p, md_n, cam_l,
                 cfg.dist_thres[level], cfg.normal_thres[level],
                 cam.depth_min, cam.depth_max)
+            if use_rgbd:
+                gx, gy = intensity_gradients(mi_pyr[level])
+                a_c, b_c, res_c, w_c, n_c = _build_system_color(
+                    delta, in_p, ii_pyr[level], mi_pyr[level], gx, gy,
+                    cam_l, color_sigma)
+                a = weight_depth * a + weight_color * a_c
+                b = weight_depth * b + weight_color * b_c
+                sum_res = weight_depth * sum_res + weight_color * res_c
+                sum_w = weight_depth * sum_w + weight_color * w_c
             mean_res = sum_res / jnp.maximum(sum_w, 1e-12)
             # Residual early-out (reference :300-335).
             done |= jnp.abs(last_res - mean_res) < cfg.residual_early_out[level]
