@@ -1,13 +1,17 @@
-"""Offline SLAM driver: the headless analog of the reference's offline
-batch mode (s_offlineProcessing, DepthSensing.cpp:885-892,1143-1148).
+"""Offline SLAM driver: the headless analog of the reference app.
 
-Replays a sequence (synthetic for now; TUM/.sens readers plug in here),
-runs the full per-frame engine, reports per-stage counters and final
-ATE RMSE vs the ground-truth trajectory.
+Replays a sequence (synthetic, TUM directory, or .sens file) through the
+full per-frame engine — the offline batch mode of the reference
+(s_offlineProcessing, DepthSensing.cpp:885-892,1143-1148) including its
+end-of-run mesh auto-extraction, plus the keyboard-bound extras as flags:
+mesh ('9'), save/load map checkpoint ('N'/'B'), render-to-file, point
+cloud export, hash histogram ('H'), timing report ('T').
 
 Usage:
     python scripts/run_slam.py --frames 20 --preset tiny
-    python scripts/run_slam.py --frames 30 --preset default --gt-init
+    python scripts/run_slam.py --input tum:/data/rgbd_dataset_freiburg1_desk
+    python scripts/run_slam.py --input sens:/data/scene.sens --mesh out.ply
+    python scripts/run_slam.py --frames 30 --streaming --save-map map.npz
 """
 
 import argparse
@@ -19,14 +23,16 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def build_config(preset: str):
+def build_config(preset: str, streaming: bool):
+    import dataclasses
     from voxelhashing_tpu.config import (CameraConfig, EngineConfig,
                                          FilterConfig, MapConfig,
-                                         RaycastConfig, TrackerConfig)
+                                         RaycastConfig, StreamingConfig,
+                                         TrackerConfig)
     if preset == "tiny":
         cam = CameraConfig(width=160, height=120, fx=130.0, fy=130.0,
                            cx=79.5, cy=59.5)
-        return EngineConfig(
+        cfg = EngineConfig(
             camera=cam,
             map=MapConfig(voxel_size=0.02, truncation=0.06,
                           truncation_scale=0.01,
@@ -41,69 +47,196 @@ def build_config(preset: str):
                                   residual_early_out=(1e-9, 1e-9)),
             filter=FilterConfig(depth_filter=False),
         )
-    # default: the reference's real-time operating point (320x240, 4mm)
-    return EngineConfig(
-        camera=CameraConfig(),
-        map=MapConfig(voxel_size=0.004, truncation=0.02,
-                      truncation_scale=0.01,
-                      num_blocks=1 << 16, table_size=1 << 18,
-                      max_active_blocks=1 << 15),
-    )
+    else:
+        cfg = EngineConfig(
+            camera=CameraConfig(),
+            map=MapConfig(voxel_size=0.004, truncation=0.02,
+                          truncation_scale=0.01,
+                          num_blocks=1 << 16, table_size=1 << 18,
+                          max_active_blocks=1 << 15),
+        )
+    if streaming:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, streaming=StreamingConfig(
+                enabled=True, chunk_size=0.64, grid_dim=129,
+                radius=3.0, out_parts=8, in_chunks_per_frame=2))
+    return cfg
+
+
+def frame_source(args, cfg):
+    """Yields (depth f32[h,w] NaN-invalid, color f32[h,w,3]|None,
+    gt_pose 4x4|None). May rescale to the working resolution."""
+    cam = cfg.camera
+    if args.input is None or args.input.startswith("synthetic"):
+        from voxelhashing_tpu.io.synthetic import (Scene, make_trajectory,
+                                                   render_depth)
+        scene = Scene()
+        poses = make_trajectory(args.frames)
+        for i, p in enumerate(poses):
+            d, c = render_depth(p, cam, scene, noise_sigma=args.noise,
+                                seed=i)
+            yield d, c, p
+        return
+
+    kind, _, path = args.input.partition(":")
+    if kind == "tum":
+        from voxelhashing_tpu.io.tum import load_tum
+        seq = load_tum(path, max_frames=args.frames or None)
+        for i in range(len(seq)):
+            d, c, p = seq.read_frame(i)
+            d, c = _resample(d, c, seq.camera, cam)
+            yield d, c, p
+    elif kind == "sens":
+        from voxelhashing_tpu.io.sensfile import SensReader
+        r = SensReader(path)
+        n = min(len(r), args.frames) if args.frames else len(r)
+        for i in range(n):
+            d, c, p = r.read_frame(i)
+            yield d, c, p
+    else:
+        raise SystemExit(f"unknown input kind {kind!r} "
+                         f"(use synthetic / tum:PATH / sens:PATH)")
+
+
+def _resample(depth, color, src_cam, dst_cam):
+    """Nearest resample raw sensor frames to the working resolution
+    (CUDARGBDAdapter's resample + intrinsics rescale)."""
+    if (src_cam.width, src_cam.height) == (dst_cam.width, dst_cam.height):
+        return depth, color
+    ys = (np.arange(dst_cam.height) * src_cam.height
+          // dst_cam.height)
+    xs = (np.arange(dst_cam.width) * src_cam.width // dst_cam.width)
+    d = depth[np.ix_(ys, xs)]
+    c = color[np.ix_(ys, xs)] if color is not None else None
+    return d, c
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=20)
     ap.add_argument("--preset", default="tiny", choices=["tiny", "default"])
+    ap.add_argument("--input", default=None,
+                    help="synthetic | tum:DIR | sens:FILE")
     ap.add_argument("--noise", type=float, default=0.0)
     ap.add_argument("--gt-init", action="store_true",
-                    help="seed ICP from the GT pose each frame "
-                         "(s_binaryDumpSensorUseTrajectoryOnlyInit)")
+                    help="seed ICP from the GT pose each frame")
+    ap.add_argument("--gt", action="store_true",
+                    help="use GT poses outright (no tracking)")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--streaming", action="store_true")
+    ap.add_argument("--mesh", default=None, help="extract mesh PLY at end")
+    ap.add_argument("--cloud", default=None, help="export final point cloud")
+    ap.add_argument("--save-map", default=None)
+    ap.add_argument("--load-map", default=None)
+    ap.add_argument("--render-dir", default=None,
+                    help="dump per-frame renders (renderToFile analog)")
+    ap.add_argument("--histogram", action="store_true")
+    ap.add_argument("--timings", action="store_true")
     args = ap.parse_args()
 
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
     import dataclasses
-    from voxelhashing_tpu import blockmap, engine, evaluation
-    from voxelhashing_tpu.io.synthetic import Scene, make_trajectory, render_depth
+    import jax.numpy as jnp
+    from voxelhashing_tpu import (blockmap, diagnostics, engine, evaluation,
+                                  streaming as streaming_mod)
 
-    cfg = build_config(args.preset)
-    if args.gt_init:
+    cfg = build_config(args.preset, args.streaming)
+    if args.gt:
+        cfg = dataclasses.replace(cfg, use_trajectory=True)
+    elif args.gt_init:
         cfg = dataclasses.replace(cfg, use_trajectory_only_init=True)
     cam = cfg.camera
-    scene = Scene()
-    poses = make_trajectory(args.frames)
+    use_hint = args.gt or args.gt_init
 
-    step = engine.make_step(cfg, with_hint=args.gt_init, donate=False)
-    state = engine.create(cfg, initial_pose=poses[0])
+    step = engine.make_step(cfg, with_hint=use_hint, donate=False)
+    timing = diagnostics.TimingLog()
+    mgr = None
+    if args.streaming:
+        mgr = streaming_mod.StreamingManager(cfg.map, cfg.streaming)
 
-    est = []
+    state = None
+    est, gts = [], []
+    rtf = None
+    if args.render_dir:
+        from voxelhashing_tpu.render import RenderToFile
+        rtf = RenderToFile(args.render_dir)
+
     t0 = time.time()
-    for i, pose_np in enumerate(poses):
-        d, c = render_depth(pose_np, cam, scene, noise_sigma=args.noise,
-                            seed=i)
-        a = (state, jnp.asarray(np.nan_to_num(d, nan=0.0)), jnp.asarray(c))
-        if args.gt_init:
-            a += (jnp.asarray(pose_np),)
+    for i, (d, c, gt_pose) in enumerate(frame_source(args, cfg)):
+        if state is None:
+            init = gt_pose if gt_pose is not None else np.eye(4)
+            state = engine.create(cfg, initial_pose=init)
+            if args.load_map:
+                m, _ = streaming_mod.load_map(args.load_map, cfg.map)
+                state = state._replace(map=m)
+        timing.frame_start()
+        a = (state, jnp.asarray(np.nan_to_num(d, nan=0.0)),
+             jnp.asarray(c) if c is not None else
+             jnp.zeros((cam.height, cam.width, 3), jnp.float32))
+        if use_hint:
+            hint = gt_pose if gt_pose is not None else np.asarray(state.pose)
+            a += (jnp.asarray(hint),)
+        timing.start("step")
         state, diag = step(*a)
+        timing.stop("step", sync=state.pose)
+        if mgr is not None:
+            timing.start("streaming")
+            cam_pos = np.asarray(state.pose)[:3, 3]
+            new_map = mgr.step(state.map, cam_pos)
+            state = state._replace(map=new_map)
+            timing.stop("streaming")
+        timing.frame_stop()
         est.append(np.asarray(state.pose))
-        print(f"frame {i:3d}: blocks={int(diag.n_allocated_blocks):6d} "
+        if gt_pose is not None:
+            gts.append(np.asarray(gt_pose))
+        if rtf is not None:
+            from voxelhashing_tpu import engine as eng
+            model = eng.render_view(state, cfg)
+            rtf(model, cam=cam)
+        print(f"frame {i:4d}: blocks={int(diag.n_allocated_blocks):6d} "
               f"active={int(diag.n_active_blocks):6d} "
               f"res={float(diag.icp_residual):.2e} "
               f"corr={int(diag.icp_corr_count):6d} "
-              f"valid={bool(diag.tracking_valid)}")
+              f"valid={bool(diag.tracking_valid)}"
+              + (f" hostblocks={mgr.host_block_count()}" if mgr else ""))
     dt = time.time() - t0
+    n_frames = len(est)
 
-    ate = evaluation.ate_rmse(est, poses, align=False)
+    if args.histogram:
+        h = diagnostics.hash_histogram(state.map, cfg.map)
+        print("hash histogram:", h)
+    if args.timings:
+        print(timing.report())
+    if args.save_map:
+        n = streaming_mod.save_map(args.save_map, state.map, cfg.map,
+                                   poses=np.stack(est))
+        print(f"saved {n} blocks -> {args.save_map}")
+    if args.mesh:
+        from voxelhashing_tpu import meshing
+        tris, cols = meshing.extract_mesh(state.map, cfg.map, cfg.mesh)
+        nf = meshing.save_ply(args.mesh, tris, cols)
+        print(f"mesh: {len(tris)} tris -> {nf} welded faces -> {args.mesh}")
+    if args.cloud:
+        from voxelhashing_tpu import engine as eng, render as render_mod
+        model = eng.render_view(state, cfg)
+        n = render_mod.save_point_cloud(args.cloud, model.points,
+                                        colors=model.color,
+                                        normals=model.normals)
+        print(f"point cloud: {n} points -> {args.cloud}")
+
+    print(f"\n{n_frames} frames in {dt:.1f}s "
+          f"({n_frames/max(dt,1e-9):.2f} fps incl. host loop)")
+    ok = True
+    if gts and not args.gt:
+        ate = evaluation.ate_rmse(est, gts, align=False)
+        print(f"ATE RMSE: {ate*1000:.2f} mm")
+        ok &= ate < 0.05
     viol = blockmap.check_invariants(state.map, cfg.map)
-    print(f"\n{args.frames} frames in {dt:.1f}s "
-          f"({args.frames/dt:.2f} fps incl. host loop)")
-    print(f"ATE RMSE: {ate*1000:.2f} mm")
     print(f"invariants: {viol}")
-    ok = ate < 0.02 and all(v == 0 for v in viol.values())
+    ok &= all(v == 0 for v in viol.values())
     print("RESULT:", "OK" if ok else "FAIL")
     return 0 if ok else 1
 

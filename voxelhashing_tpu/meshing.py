@@ -299,9 +299,19 @@ def save_ply(path: str, triangles: np.ndarray,
              colors: Optional[np.ndarray] = None,
              weld_eps: Optional[float] = None) -> int:
     """Write a binary little-endian PLY (the reference writes via mLib
-    MeshIO, CUDAMarchingCubesHashSDF.cpp:116-143). Returns face count."""
+    MeshIO, CUDAMarchingCubesHashSDF.cpp:116-143). Returns face count.
+
+    Uses the native C++ weld+writer (native/voxelhash_host.cpp) when
+    available; falls back to the numpy path."""
     if weld_eps is None:
         weld_eps = 1e-5
+    try:
+        from .native import weld_save_ply
+        n = weld_save_ply(path, triangles, colors, weld_eps)
+        if n is not None:
+            return n
+    except Exception:
+        pass
     verts, faces, vcols = merge_vertices(triangles, colors, weld_eps)
     with open(path, "wb") as f:
         hdr = ["ply", "format binary_little_endian 1.0",

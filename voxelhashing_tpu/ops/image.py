@@ -115,6 +115,55 @@ def erode_depth(depth, radius: int = 2, thresh: float = 0.1,
     return jnp.where(keep & jnp.isfinite(depth), depth, jnp.nan)
 
 
+def fill_holes_pullpush(depth, levels: int = 5, smooth_iters: int = 2):
+    """Pull-push pyramid depth inpainting + Laplace smoothing of the
+    filled-in pixels (CUDAHoleFiller.cu's pull/push kernels + smoothing;
+    unused in the reference main loop but part of its component set).
+
+    pull: average valid pixels into a coarser level per 2x2 cell;
+    push: fill invalid fine pixels from the coarser level; finally a few
+    Jacobi-Laplace iterations smooth ONLY the synthesized pixels.
+    """
+    orig = depth
+    orig_valid = jnp.isfinite(depth)
+
+    # pad to a multiple of 2^levels so 2x2 pooling stays exact
+    m = 1 << levels
+    h, w = depth.shape
+    ph = (-h) % m
+    pw = (-w) % m
+    d = jnp.pad(depth, ((0, ph), (0, pw)), constant_values=jnp.nan)
+
+    pyr = [d]
+    for _ in range(levels):
+        cur = pyr[-1]
+        v = jnp.isfinite(cur)
+        vals = jnp.where(v, cur, 0.0)
+        s = (vals[0::2, 0::2] + vals[0::2, 1::2]
+             + vals[1::2, 0::2] + vals[1::2, 1::2])
+        c = (v[0::2, 0::2].astype(jnp.float32) + v[0::2, 1::2]
+             + v[1::2, 0::2] + v[1::2, 1::2])
+        pyr.append(jnp.where(c > 0, s / jnp.maximum(c, 1.0), jnp.nan))
+
+    filled = pyr[-1]
+    for lvl in range(levels - 1, -1, -1):
+        fine = pyr[lvl]
+        up = jnp.repeat(jnp.repeat(filled, 2, axis=0), 2, axis=1)
+        filled = jnp.where(jnp.isfinite(fine), fine, up)
+
+    filled = filled[:h, :w]
+    synth = ~orig_valid & jnp.isfinite(filled)
+    out = jnp.where(orig_valid, orig, filled)
+
+    # Laplace smoothing restricted to synthesized pixels
+    for _ in range(smooth_iters):
+        p = jnp.pad(out, 1, mode="edge")
+        lap = 0.25 * (p[:-2, 1:-1] + p[2:, 1:-1]
+                      + p[1:-1, :-2] + p[1:-1, 2:])
+        out = jnp.where(synth & jnp.isfinite(lap), lap, out)
+    return out
+
+
 def depth_to_hsv(depth, d_min: float, d_max: float):
     """Depth visualisation (convertDepthToHSV equivalent): map depth in
     [d_min,d_max] to HSV hue ramp, invalid -> black. Returns RGB [h,w,3]."""

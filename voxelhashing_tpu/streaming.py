@@ -135,6 +135,115 @@ class HostChunk:
     color: np.ndarray    # [k, 512] u32
 
 
+class PyChunkStore:
+    """Pure-Python chunk store (fallback when the native library is
+    unavailable); same interface as :class:`..native.NativeChunkStore`."""
+
+    def __init__(self, blocks_per_chunk: int, world_blocks: int):
+        self.bpc = blocks_per_chunk
+        self.world_blocks = world_blocks
+        self.chunks: Dict[Tuple[int, int, int], HostChunk] = {}
+
+    def _chunk_of_key(self, key: int) -> Tuple[int, int, int]:
+        wb = self.world_blocks
+        half = wb // 2
+        gx, gy, gz = key % wb, (key // wb) % wb, key // (wb * wb)
+        b = np.array([gx - half, gy - half, gz - half])
+        return tuple((b // self.bpc).tolist())
+
+    def file_blocks(self, keys, sdf, weight, color):
+        for i, key in enumerate(np.asarray(keys).tolist()):
+            cc = self._chunk_of_key(key)
+            ch = self.chunks.get(cc)
+            if ch is None:
+                z = np.zeros((0, VOXELS_PER_BLOCK), np.float32)
+                ch = HostChunk(keys=np.zeros((0,), np.int32), sdf=z.copy(),
+                               weight=z.copy(),
+                               color=np.zeros((0, VOXELS_PER_BLOCK),
+                                              np.uint32))
+                self.chunks[cc] = ch
+            ch.keys = np.append(ch.keys, np.int32(key))
+            ch.sdf = np.vstack([ch.sdf, sdf[i:i + 1]])
+            ch.weight = np.vstack([ch.weight, weight[i:i + 1]])
+            ch.color = np.vstack([ch.color, color[i:i + 1]])
+
+    def block_count(self) -> int:
+        return sum(len(c.keys) for c in self.chunks.values())
+
+    def chunk_count(self) -> int:
+        return len(self.chunks)
+
+    def pop_in_sphere(self, cam_pos, radius, chunk_size_world, max_chunks,
+                      cap):
+        cam = np.asarray(cam_pos, np.float32)
+        half_diag = (np.sqrt(3.0) / 2.0) * chunk_size_world
+        keys, sdfs, ws, cs = [], [], [], []
+        popped = total = 0
+        for cc in list(self.chunks.keys()):
+            if popped >= max_chunks:
+                break
+            centre = (np.asarray(cc, np.float32) + 0.5) * chunk_size_world
+            if np.linalg.norm(centre - cam) + half_diag >= radius:
+                continue
+            ch = self.chunks[cc]
+            if total + len(ch.keys) > cap:
+                continue
+            self.chunks.pop(cc)
+            keys.append(ch.keys); sdfs.append(ch.sdf)
+            ws.append(ch.weight); cs.append(ch.color)
+            total += len(ch.keys)
+            popped += 1
+        if not keys:
+            z = np.zeros((0, VOXELS_PER_BLOCK), np.float32)
+            return (np.zeros((0,), np.int32), z, z.copy(),
+                    np.zeros((0, VOXELS_PER_BLOCK), np.uint32))
+        return (np.concatenate(keys), np.vstack(sdfs), np.vstack(ws),
+                np.vstack(cs))
+
+    def chunk_ids(self, grid_dim: int, cap: int = 1 << 20) -> np.ndarray:
+        half = grid_dim // 2
+        out = []
+        for (x, y, z) in self.chunks.keys():
+            cx = min(max(x + half, 0), grid_dim - 1)
+            cy = min(max(y + half, 0), grid_dim - 1)
+            cz = min(max(z + half, 0), grid_dim - 1)
+            out.append((cz * grid_dim + cy) * grid_dim + cx)
+        return np.asarray(out[:cap], np.int32)
+
+    def save(self, path: str):
+        flat_k, flat_s, flat_w, flat_c = [], [], [], []
+        for ch in self.chunks.values():
+            flat_k.append(ch.keys); flat_s.append(ch.sdf)
+            flat_w.append(ch.weight); flat_c.append(ch.color)
+        np.savez_compressed(
+            path, bpc=self.bpc, world_blocks=self.world_blocks,
+            keys=np.concatenate(flat_k) if flat_k else np.zeros(0, np.int32),
+            sdf=np.vstack(flat_s) if flat_s else
+            np.zeros((0, VOXELS_PER_BLOCK), np.float32),
+            weight=np.vstack(flat_w) if flat_w else
+            np.zeros((0, VOXELS_PER_BLOCK), np.float32),
+            color=np.vstack(flat_c) if flat_c else
+            np.zeros((0, VOXELS_PER_BLOCK), np.uint32))
+
+    def load_file(self, path: str):
+        z = np.load(path)
+        self.chunks.clear()
+        self.file_blocks(z["keys"], z["sdf"], z["weight"], z["color"])
+
+
+def make_chunk_store(blocks_per_chunk: int, world_blocks: int,
+                     prefer_native: bool = True):
+    """Native C++ chunk store when available (native/voxelhash_host.cpp),
+    else the Python fallback."""
+    if prefer_native:
+        try:
+            from .native import NativeChunkStore
+            return NativeChunkStore(blocks_per_chunk, world_blocks)
+        except Exception:
+            pass
+    return PyChunkStore(blocks_per_chunk, world_blocks)
+
+
 class StreamingManager:
     """Host-side orchestration (the streaming thread's role,
     StreamingFunc, CUDASceneRepChunkGrid.cpp:8-29)."""
@@ -144,7 +253,9 @@ class StreamingManager:
         self.cfg = cfg
         self.scfg = scfg
         self.out_cap = out_cap
-        self.chunks: Dict[Tuple[int, int, int], HostChunk] = {}
+        bpc = max(1, round(scfg.chunk_size / cfg.block_size_world))
+        self._bpc = bpc
+        self.store = make_chunk_store(bpc, cfg.world_blocks)
         self._part = 0
         g = scfg.grid_dim
         # device-resident eviction bitmask (1 bit per chunk)
@@ -157,33 +268,23 @@ class StreamingManager:
         self._del = jax.jit(
             lambda s, idx, m: blockmap.delete_blocks(s, idx, m, cfg))
 
-    # -- helpers ----------------------------------------------------------
-
-    def _chunk_of_key(self, key: int) -> Tuple[int, int, int]:
-        bpc = max(1, round(self.scfg.chunk_size / self.cfg.block_size_world))
-        b = np.asarray(geom.unpack_block_key(
-            jnp.asarray([key], jnp.int32), self.cfg.world_blocks))[0]
-        return tuple((b // bpc).tolist())
-
-    def _set_bit(self, lin: int, value: bool):
-        word, bit = lin // 32, lin % 32
-        w = self.bitmask[word]
-        if value:
-            w = w | jnp.uint32(1 << bit)
-        else:
-            w = w & jnp.uint32(~np.uint32(1 << bit))
-        self.bitmask = self.bitmask.at[word].set(w)
-
-    def _chunk_lin(self, cc: Tuple[int, int, int]) -> int:
+    def _rebuild_bitmask(self):
+        """Bitmask = exactly the chunks currently resident on the host
+        (re-uploaded each frame in the reference, ChunkGrid.h:306-309)."""
         g = self.scfg.grid_dim
-        half = g // 2
-        x, y, z = (min(max(c + half, 0), g - 1) for c in cc)
-        return (z * g + y) * g + x
+        words = np.zeros(((g * g * g + 31) // 32,), np.uint32)
+        ids = self.store.chunk_ids(g)
+        if len(ids):
+            np.bitwise_or.at(words, ids // 32,
+                             np.uint32(1) << (ids % 32).astype(np.uint32))
+        self.bitmask = jnp.asarray(words)
 
     # -- per-frame halves -------------------------------------------------
 
     def stream_out(self, state: MapState, cam_pos) -> Tuple[MapState, int]:
-        """Sweep one pool part; move outside-sphere blocks to host chunks."""
+        """Sweep one pool part; move outside-sphere blocks to host chunks
+        (the GPU half of stream-out + integrateInChunkGrid filing,
+        ChunkGrid.cpp:55-153; the filing runs in the native C++ store)."""
         out_idx, keys, count = self._sel(
             state, jnp.asarray(cam_pos, jnp.float32), self._part)
         self._part = (self._part + 1) % self.scfg.out_parts
@@ -191,29 +292,9 @@ class StreamingManager:
         if n == 0:
             return state, 0
         sdf, w, c = extract_blocks(state, out_idx)
-        keys_h = np.asarray(keys)[:n]
-        sdf_h = np.asarray(sdf)[:n]
-        w_h = np.asarray(w)[:n]
-        c_h = np.asarray(c)[:n]
-        # file blocks into chunks + mark bitmask (integrateInChunkGrid,
-        # ChunkGrid.cpp:126-153)
-        for i, key in enumerate(keys_h.tolist()):
-            cc = self._chunk_of_key(key)
-            ch = self.chunks.get(cc)
-            if ch is None:
-                ch = HostChunk(keys=np.zeros((0,), np.int32),
-                               sdf=np.zeros((0, VOXELS_PER_BLOCK),
-                                            np.float32),
-                               weight=np.zeros((0, VOXELS_PER_BLOCK),
-                                               np.float32),
-                               color=np.zeros((0, VOXELS_PER_BLOCK),
-                                              np.uint32))
-                self.chunks[cc] = ch
-            ch.keys = np.append(ch.keys, np.int32(key))
-            ch.sdf = np.vstack([ch.sdf, sdf_h[i:i + 1]])
-            ch.weight = np.vstack([ch.weight, w_h[i:i + 1]])
-            ch.color = np.vstack([ch.color, c_h[i:i + 1]])
-            self._set_bit(self._chunk_lin(cc), True)
+        self.store.file_blocks(np.asarray(keys)[:n], np.asarray(sdf)[:n],
+                               np.asarray(w)[:n], np.asarray(c)[:n])
+        self._rebuild_bitmask()
         mask = jnp.arange(self.out_cap) < count
         state = self._del(state, out_idx, mask)
         return state, n
@@ -221,28 +302,23 @@ class StreamingManager:
     def stream_in(self, state: MapState, cam_pos) -> Tuple[MapState, int]:
         """Upload up to in_chunks_per_frame whole chunks inside the sphere
         (conservative whole-chunk test, ChunkGrid.h:317-346)."""
-        cam = np.asarray(cam_pos, np.float32)
-        half_diag = (np.sqrt(3.0) / 2.0) * self.scfg.chunk_size
-        uploaded = 0
-        total_blocks = 0
-        for cc in list(self.chunks.keys()):
-            if uploaded >= self.scfg.in_chunks_per_frame:
-                break
-            centre = (np.asarray(cc, np.float32) + 0.5) * self.scfg.chunk_size
-            if np.linalg.norm(centre - cam) + half_diag >= self.scfg.radius:
-                continue
-            ch = self.chunks.pop(cc)
-            k = len(ch.keys)
-            if k == 0:
-                continue
-            state, n_ins = self._ins(
-                state, jnp.asarray(ch.keys),
-                jnp.asarray(ch.sdf), jnp.asarray(ch.weight),
-                jnp.asarray(ch.color))
-            self._set_bit(self._chunk_lin(cc), False)
-            uploaded += 1
-            total_blocks += k
-        return state, total_blocks
+        keys, sdf, w, c = self.store.pop_in_sphere(
+            np.asarray(cam_pos, np.float32), self.scfg.radius,
+            self.scfg.chunk_size, self.scfg.in_chunks_per_frame,
+            cap=self.out_cap)
+        n = len(keys)
+        if n == 0:
+            return state, 0
+        pad = self.out_cap - n
+        state, _ = self._ins(
+            state,
+            jnp.asarray(np.pad(keys, (0, pad),
+                               constant_values=INVALID_KEY)),
+            jnp.asarray(np.pad(sdf, ((0, pad), (0, 0)))),
+            jnp.asarray(np.pad(w, ((0, pad), (0, 0)))),
+            jnp.asarray(np.pad(c, ((0, pad), (0, 0)))))
+        self._rebuild_bitmask()
+        return state, n
 
     def step(self, state: MapState, cam_pos) -> MapState:
         """One streaming epoch step (out then in, DepthSensing.cpp:881-900)."""
@@ -259,7 +335,7 @@ class StreamingManager:
         return state
 
     def host_block_count(self) -> int:
-        return sum(len(c.keys) for c in self.chunks.values())
+        return self.store.block_count()
 
     def alloc_mask_keys(self, keys, cfg: Optional[MapConfig] = None):
         """Filter allocation candidates against the eviction bitmask
