@@ -151,7 +151,8 @@ def main():
     cam = cfg.camera
     use_hint = args.gt or args.gt_init
 
-    step = engine.make_step(cfg, with_hint=use_hint, donate=False)
+    step = engine.make_step(cfg, with_hint=use_hint, donate=False,
+                            with_stream_mask=args.streaming)
     timing = diagnostics.TimingLog()
     mgr = None
     if args.streaming:
@@ -179,6 +180,8 @@ def main():
         if use_hint:
             hint = gt_pose if gt_pose is not None else np.asarray(state.pose)
             a += (jnp.asarray(hint),)
+        if mgr is not None:
+            a += (mgr.bitmask,)
         timing.start("step")
         state, diag = step(*a)
         timing.stop("step", sync=state.pose)

@@ -101,3 +101,56 @@ class TestTum:
         b = [(1.005, "x"), (3.0, "y")]
         pairs = tum.associate(a, b, max_dt=0.02)
         assert pairs == [(0, 0)]
+
+
+class TestNetworkSensor:
+    def test_stream_roundtrip(self):
+        import threading
+        from voxelhashing_tpu.io.network import (NetworkSensor,
+                                                 RGBDStreamServer)
+        depths, colors, poses = make_data(2)
+        server = RGBDStreamServer()
+        got = {}
+
+        def serve():
+            server.accept(timeout=10)
+            for i in range(2):
+                server.send_frame(depths[i], colors[i], poses[i])
+            server.close()
+
+        t = threading.Thread(target=serve)
+        t.start()
+        sensor = NetworkSensor("127.0.0.1", server.port)
+        frames = []
+        for i in range(2):
+            frames.append(sensor.read_frame())
+        sensor.close()
+        t.join()
+        for i, (d, c, p) in enumerate(frames):
+            valid = np.isfinite(depths[i])
+            np.testing.assert_allclose(d[valid], depths[i][valid], atol=1e-3)
+            assert np.all(~np.isfinite(d[~valid]))
+            np.testing.assert_allclose(c, colors[i], atol=1 / 255.0)
+            np.testing.assert_allclose(p, poses[i], atol=1e-6)
+
+    def test_depth_only_frame(self):
+        import threading
+        from voxelhashing_tpu.io.network import (NetworkSensor,
+                                                 RGBDStreamServer)
+        depths, _, _ = make_data(1)
+        server = RGBDStreamServer()
+
+        def serve():
+            server.accept(timeout=10)
+            server.send_frame(depths[0])
+            server.close()
+
+        t = threading.Thread(target=serve)
+        t.start()
+        sensor = NetworkSensor("127.0.0.1", server.port)
+        d, c, p = sensor.read_frame()
+        sensor.close()
+        t.join()
+        assert c is None and p is None
+        valid = np.isfinite(depths[0])
+        np.testing.assert_allclose(d[valid], depths[0][valid], atol=1e-3)

@@ -65,11 +65,23 @@ def create(cfg: EngineConfig, initial_pose=None) -> EngineState:
 
 
 def _integrate_frame(state: MapState, frame: FrameInputs, pose,
-                     cfg: EngineConfig, frame_idx):
+                     cfg: EngineConfig, frame_idx, stream_bitmask=None):
     """alloc -> compactify -> integrate -> gc (CUDASceneRepHashSDF::integrate,
     CUDASceneRepHashSDF.h:64-83)."""
     cam, mp = cfg.camera, cfg.map
-    state, _ = integ.allocate_from_depth(state, frame.depth, pose, cam, mp)
+    if stream_bitmask is not None:
+        # never re-allocate streamed-out space (isSDFBlockStreamedOut,
+        # CUDASceneRepHashSDF.cu:219)
+        from . import streaming as streaming_mod
+        keys = integ.alloc_candidates(frame.depth, pose, cam, mp)
+        lin = streaming_mod.key_to_chunk_linear(keys, mp, cfg.streaming)
+        word = stream_bitmask[lin // 32]
+        bit = (word >> (lin % 32).astype(jnp.uint32)) & 1
+        keys = jnp.where(bit == 1, jnp.int32(0x7FFFFFFF), keys)
+        state, _ = blockmap.allocate(state, keys, mp)
+    else:
+        state, _ = integ.allocate_from_depth(state, frame.depth, pose, cam,
+                                             mp)
     view = geom.invert_rigid(pose)
     active_idx, n_active, overflow = blockmap.compactify(state, view, cam, mp)
     active_mask = jnp.arange(active_idx.shape[0]) < n_active
@@ -95,7 +107,8 @@ def _integrate_frame(state: MapState, frame: FrameInputs, pose,
 
 
 def step(state: EngineState, depth_raw, color_raw, cfg: EngineConfig,
-         pose_hint=None) -> Tuple[EngineState, FrameDiagnostics]:
+         pose_hint=None, stream_bitmask=None
+         ) -> Tuple[EngineState, FrameDiagnostics]:
     """Process one RGB-D frame. jit-compile via ``make_step``.
 
     ``pose_hint``: optional external pose (ground-truth trajectory replay,
@@ -143,7 +156,8 @@ def step(state: EngineState, depth_raw, color_raw, cfg: EngineConfig,
     # --- Integration (skipped when tracking lost, DepthSensing.cpp:874-879).
     def do_integrate(m):
         new_map, _, _, n_act, ovf = _integrate_frame(
-            m, frame, tr.pose, cfg, state.frame)
+            m, frame, tr.pose, cfg, state.frame,
+            stream_bitmask=stream_bitmask)
         return new_map, n_act, ovf
 
     def skip_integrate(m):
@@ -173,15 +187,25 @@ def step(state: EngineState, depth_raw, color_raw, cfg: EngineConfig,
 
 
 @functools.lru_cache(maxsize=8)
-def make_step(cfg: EngineConfig, with_hint: bool = False, donate: bool = True):
+def make_step(cfg: EngineConfig, with_hint: bool = False,
+              donate: bool = True, with_stream_mask: bool = False):
     """jit-compiled step function for a fixed config.
 
     ``donate``: donate the engine state buffers (the map arrays are updated
     in place on device — essential, the pool is hundreds of MB).
+    ``with_stream_mask``: step takes the streaming eviction bitmask as a
+    4th argument and masks allocation candidates against it.
     """
-    if with_hint:
+    if with_hint and with_stream_mask:
+        def fn(state, depth, color, hint, bitmask):
+            return step(state, depth, color, cfg, pose_hint=hint,
+                        stream_bitmask=bitmask)
+    elif with_hint:
         def fn(state, depth, color, hint):
             return step(state, depth, color, cfg, pose_hint=hint)
+    elif with_stream_mask:
+        def fn(state, depth, color, bitmask):
+            return step(state, depth, color, cfg, stream_bitmask=bitmask)
     else:
         def fn(state, depth, color):
             return step(state, depth, color, cfg)
