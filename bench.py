@@ -29,6 +29,7 @@ def main():
                       truncation_scale=0.01,
                       num_blocks=1 << 16, table_size=1 << 18,
                       max_active_blocks=1 << 15),
+        offline=False,   # online allocation semantics (real-time mode)
     )
 
     n_frames = 20

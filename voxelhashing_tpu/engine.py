@@ -80,8 +80,11 @@ def _integrate_frame(state: MapState, frame: FrameInputs, pose,
         keys = jnp.where(bit == 1, jnp.int32(0x7FFFFFFF), keys)
         state, _ = blockmap.allocate(state, keys, mp)
     else:
-        state, _ = integ.allocate_from_depth(state, frame.depth, pose, cam,
-                                             mp)
+        # online mode: one alloc round per frame (missed allocs retried next
+        # frame); offline replay approximates the fixpoint with two rounds
+        state, _ = integ.allocate_from_depth(
+            state, frame.depth, pose, cam, mp,
+            rounds=2 if cfg.offline else 1)
     view = geom.invert_rigid(pose)
     active_idx, n_active, overflow = blockmap.compactify(state, view, cam, mp)
     active_mask = jnp.arange(active_idx.shape[0]) < n_active

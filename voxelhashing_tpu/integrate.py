@@ -145,15 +145,21 @@ def alloc_candidates(depth, pose, cam: CameraConfig, cfg: MapConfig,
 
 
 def allocate_from_depth(state: MapState, depth, pose, cam: CameraConfig,
-                        cfg: MapConfig) -> Tuple[MapState, jax.Array]:
+                        cfg: MapConfig, rounds: int = 2
+                        ) -> Tuple[MapState, jax.Array]:
     """alloc() stage: DDA candidates filtered by frustum, then batch-insert.
+
+    ``rounds=1`` is the reference's ONLINE semantics (a staging collision
+    drops the alloc; the next frame retries — CUDASceneRepHashSDF alloc is
+    allowed to be incomplete per frame); ``rounds=2`` approximates the
+    offline fixpoint loop (CUDASceneRepHashSDF.h:251-267).
 
     The reference also skips streamed-out blocks via the chunk bitmask
     (isSDFBlockStreamedOut, :149-156); the streaming layer applies that mask
     before calling :func:`blockmap.allocate`.
     """
     keys = alloc_candidates(depth, pose, cam, cfg)
-    return blockmap.allocate(state, keys, cfg)
+    return blockmap.allocate(state, keys, cfg, rounds=rounds)
 
 
 # ---------------------------------------------------------------------------
