@@ -1,0 +1,129 @@
+"""Pose graph: SE(3) math, keyframe policy, loop closure, GN optimization."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from voxelhashing_tpu import posegraph
+from voxelhashing_tpu.config import CameraConfig, FilterConfig
+from voxelhashing_tpu.io.synthetic import Scene, render_depth
+from voxelhashing_tpu.ops.image import preprocess
+
+CAM = CameraConfig(width=80, height=60, fx=65.0, fy=65.0, cx=39.5, cy=29.5)
+SCENE = Scene()
+FLT = FilterConfig(depth_filter=False)
+
+
+def rot(axis, a):
+    c, s = np.cos(a), np.sin(a)
+    m = np.eye(4)
+    if axis == "y":
+        m[:3, :3] = [[c, 0, s], [0, 1, 0], [-s, 0, c]]
+    else:
+        m[:3, :3] = [[1, 0, 0], [0, c, -s], [0, s, c]]
+    return m
+
+
+class TestSE3:
+    def test_exp_log_roundtrip(self):
+        xi = jnp.asarray([0.02, -0.01, 0.03, 0.1, -0.2, 0.05])
+        t = posegraph.se3_exp(xi)
+        back = posegraph.se3_log_residual(np.asarray(t))
+        np.testing.assert_allclose(np.asarray(back), np.asarray(xi),
+                                   atol=2e-3)
+
+    def test_exp_identity(self):
+        np.testing.assert_allclose(
+            np.asarray(posegraph.se3_exp(jnp.zeros(6))), np.eye(4),
+            atol=1e-6)
+
+
+class TestKeyframePolicy:
+    def test_interval_and_motion_triggers(self):
+        pg = posegraph.PoseGraph(CAM, posegraph.PoseGraphConfig(
+            keyframe_every=5, keyframe_dist=0.1, keyframe_angle=0.1))
+        d, _ = render_depth(np.eye(4, dtype=np.float32), CAM, SCENE)
+        f = preprocess(jnp.asarray(d), None, CAM, FLT)
+        assert pg.should_add_keyframe(0, np.eye(4))
+        pg.add_keyframe(0, np.eye(4), f.points, f.normals)
+        # small motion, within interval: no
+        p = np.eye(4); p[0, 3] = 0.01
+        assert not pg.should_add_keyframe(2, p)
+        # large motion within interval: yes
+        p2 = np.eye(4); p2[0, 3] = 0.2
+        assert pg.should_add_keyframe(2, p2)
+        # past the interval: yes
+        assert pg.should_add_keyframe(6, p)
+
+
+class TestOptimize:
+    def _chain_with_loop(self, drift=0.05):
+        """Ground truth: poses around a square loop; odometry edges carry
+        accumulated drift, one loop edge carries the truth."""
+        gt = [np.eye(4)]
+        for k in range(1, 8):
+            p = np.eye(4)
+            p[0, 3] = [0, 1, 2, 2, 2, 1, 0, 0][k]
+            p[2, 3] = [0, 0, 0, 1, 2, 2, 2, 1][k]
+            gt.append(p)
+        pg = posegraph.PoseGraph(CAM)
+        dummy = np.zeros((4, 4, 3), np.float32)
+        # corrupted estimates: drift grows along the chain
+        est = []
+        for k, p in enumerate(gt):
+            e = p.copy()
+            e[0, 3] += drift * k
+            est.append(e)
+            pg.keyframes.append(posegraph.Keyframe(
+                index=k, pose=e, points=dummy, normals=dummy))
+        # odometry edges from TRUE relative motion (as clean ICP would give)
+        for k in range(1, 8):
+            pg.edges.append(posegraph.Edge(
+                i=k - 1, j=k, z_ij=np.linalg.inv(gt[k - 1]) @ gt[k]))
+        # loop edge from last to first
+        pg.edges.append(posegraph.Edge(
+            i=0, j=7, z_ij=np.linalg.inv(gt[0]) @ gt[7], is_loop=True))
+        return pg, gt, est
+
+    def test_gn_removes_drift(self):
+        pg, gt, est = self._chain_with_loop()
+        err_before = max(np.linalg.norm(e[:3, 3] - g[:3, 3])
+                         for e, g in zip(est, gt))
+        out = pg.optimize()
+        err_after = max(np.linalg.norm(out[k][:3, 3] - gt[k][:3, 3])
+                        for k in range(len(gt)))
+        assert err_before > 0.3
+        assert err_after < 0.01, err_after
+
+    def test_corrected_trajectory_propagates(self):
+        pg, gt, est = self._chain_with_loop()
+        pg.snapshot_originals()
+        pg.optimize()
+        frame_poses = [e for e in est]    # one frame per keyframe here
+        fixed = pg.corrected_trajectory(frame_poses)
+        err = max(np.linalg.norm(np.asarray(f)[:3, 3] - g[:3, 3])
+                  for f, g in zip(fixed, gt))
+        assert err < 0.01, err
+
+
+class TestLoopClosure:
+    def test_icp_verified_loop_on_synthetic(self):
+        pg = posegraph.PoseGraph(CAM, posegraph.PoseGraphConfig(
+            loop_min_separation=1, loop_max_dist=0.6, loop_max_angle=0.8,
+            loop_residual_max=1e-3))
+        # three keyframes: kf2 returns near kf0's viewpoint
+        poses = [np.eye(4), rot("y", 0.3), np.eye(4)]
+        poses[2][0, 3] = 0.04     # small true offset from kf0
+        for k, p in enumerate(poses):
+            d, _ = render_depth(p.astype(np.float32), CAM, SCENE)
+            f = preprocess(jnp.asarray(np.nan_to_num(d, nan=0.0) * 0 + d),
+                           None, CAM, FLT)
+            # feed the graph a slightly WRONG pose for kf2 (drift)
+            est = p.copy()
+            if k == 2:
+                est[0, 3] += 0.03
+            pg.add_keyframe(k * 5, est, f.points, f.normals)
+        loops = [e for e in pg.edges if e.is_loop]
+        assert len(loops) >= 1
+        # the loop edge should measure the TRUE relative pose (~0.04 x)
+        z = loops[0].z_ij
+        np.testing.assert_allclose(z[0, 3], 0.04, atol=0.012)
