@@ -133,7 +133,17 @@ def main():
                     help="dump per-frame renders (renderToFile analog)")
     ap.add_argument("--histogram", action="store_true")
     ap.add_argument("--timings", action="store_true")
+    ap.add_argument("--posegraph", action="store_true",
+                    help="keyframe pose graph + loop closure + optimization")
+    ap.add_argument("--record", default=None,
+                    help="record the replayed sequence to a .sens file")
+    ap.add_argument("--log", default=None,
+                    help="redirect stdout to a log file (StdOutputLogger)")
     args = ap.parse_args()
+
+    if args.log:
+        # batch-mode stdout redirection (DepthSensing.cpp:1322-1328)
+        sys.stdout = open(args.log, "w")
 
     import jax
     if args.cpu:
@@ -160,6 +170,11 @@ def main():
 
     state = None
     est, gts = [], []
+    pg = None
+    if args.posegraph:
+        from voxelhashing_tpu.posegraph import PoseGraph
+        pg = PoseGraph(cam)
+    rec_frames = [] if args.record else None
     rtf = None
     if args.render_dir:
         from voxelhashing_tpu.render import RenderToFile
@@ -195,6 +210,16 @@ def main():
         est.append(np.asarray(state.pose))
         if gt_pose is not None:
             gts.append(np.asarray(gt_pose))
+        if rec_frames is not None:
+            rec_frames.append((d, c))
+        if pg is not None and pg.should_add_keyframe(i, est[-1]):
+            from voxelhashing_tpu.ops.image import preprocess as _pp
+            fr = _pp(jnp.asarray(np.nan_to_num(d, nan=0.0)), None, cam,
+                     cfg.filter)
+            n_loops = pg.add_keyframe(i, est[-1], fr.points, fr.normals)
+            if n_loops:
+                print(f"  loop closure: {n_loops} new edge(s), "
+                      f"{len(pg.keyframes)} keyframes")
         if rtf is not None:
             from voxelhashing_tpu import engine as eng
             model = eng.render_view(state, cfg)
@@ -208,6 +233,24 @@ def main():
     dt = time.time() - t0
     n_frames = len(est)
 
+    if pg is not None and len(pg.keyframes) >= 2:
+        pg.snapshot_originals()
+        pg.optimize()
+        est = pg.corrected_trajectory(est)
+        n_loops = sum(1 for e in pg.edges if e.is_loop)
+        print(f"pose graph: {len(pg.keyframes)} keyframes, "
+              f"{len(pg.edges)} edges ({n_loops} loops), optimized")
+    if args.record:
+        from voxelhashing_tpu.io.sensfile import write_sens
+        intr = np.eye(4, dtype=np.float32)
+        intr[0, 0], intr[1, 1] = cam.fx, cam.fy
+        intr[0, 2], intr[1, 2] = cam.cx, cam.cy
+        write_sens(args.record,
+                   np.stack([f[0] for f in rec_frames]),
+                   np.stack([f[1] for f in rec_frames])
+                   if rec_frames[0][1] is not None else None,
+                   est, intr)
+        print(f"recorded {len(rec_frames)} frames -> {args.record}")
     if args.histogram:
         h = diagnostics.hash_histogram(state.map, cfg.map)
         print("hash histogram:", h)
