@@ -255,12 +255,35 @@ def render_splat(state: MapState, pose, cam: CameraConfig, cfg: MapConfig,
         active_idx, n_active, _ = blockmap.compactify(state, view, cam, cfg)
         active_mask = jnp.arange(active_idx.shape[0]) < n_active
 
-    # --- Per-voxel projection (all [M,512] SoA). -------------------------
-    blocks = geom.unpack_block_key(state.block_key[active_idx],
-                                   cfg.world_blocks)          # [M,3]
+    vs = cfg.voxel_size
+
+    # --- Surface-block cull: only ~15-30% of active (truncation-band)
+    # blocks contain voxels in the narrow surface band |sdf| < voxel; the
+    # expensive projection+scatter phases run only on those (static cap =
+    # half the active list, overflow falls back conservatively).
+    sdf_all = state.sdf[active_idx]                           # [M,512] rows
+    wgt_all = state.weight[active_idx]
+    surf_rows = (wgt_all > 0.0) & (jnp.abs(sdf_all) < vs)
+    has_surf = jnp.any(surf_rows, axis=1) & active_mask
+    m_full = active_idx.shape[0]
+    m2 = m_full // 2
+    rank = jnp.cumsum(has_surf.astype(jnp.int32)) - 1
+    keep = has_surf & (rank < m2)
+    sel = jnp.zeros((m2,), jnp.int32).at[
+        jnp.where(keep, rank, m2)].set(
+        jnp.arange(m_full, dtype=jnp.int32), mode="drop")
+    n_surf = jnp.minimum(jnp.sum(has_surf.astype(jnp.int32)), m2)
+    sel_mask = jnp.arange(m2) < n_surf
+
+    sdf = sdf_all[sel]                                        # [M2,512]
+    wgt = wgt_all[sel]
+    sel_active = active_idx[sel]
+
+    # --- Per-voxel projection (all [M2,512] SoA). ------------------------
+    blocks = geom.unpack_block_key(state.block_key[sel_active],
+                                   cfg.world_blocks)          # [M2,3]
     base = geom.block_to_voxel(blocks)
     off_x, off_y, off_z = _local_offsets()
-    vs = cfg.voxel_size
     wx = (base[:, 0:1] + off_x[None, :]).astype(jnp.float32) * vs
     wy = (base[:, 1:2] + off_y[None, :]).astype(jnp.float32) * vs
     wz = (base[:, 2:3] + off_z[None, :]).astype(jnp.float32) * vs
@@ -269,9 +292,7 @@ def render_splat(state: MapState, pose, cam: CameraConfig, cfg: MapConfig,
     py = r[1, 0] * wx + r[1, 1] * wy + r[1, 2] * wz + t[1]
     pz = r[2, 0] * wx + r[2, 1] * wy + r[2, 2] * wz + t[2]
 
-    sdf = state.sdf[active_idx]                               # [M,512] rows
-    wgt = state.weight[active_idx]
-    surface = (wgt > 0.0) & (jnp.abs(sdf) < vs) & active_mask[:, None]
+    surface = (wgt > 0.0) & (jnp.abs(sdf) < vs) & sel_mask[:, None]
 
     z_surf = pz + sdf            # projective-TSDF surface depth prediction
     safe_z = jnp.where(pz == 0.0, 1e-12, pz)
@@ -293,7 +314,7 @@ def render_splat(state: MapState, pose, cam: CameraConfig, cfg: MapConfig,
 
     if with_color:
         zhit = ok & (zbuf[jnp.clip(pix, 0, p - 1)] == z_surf)
-        col = state.color[active_idx]
+        col = state.color[sel_active]
         colbuf = jnp.zeros((p,), jnp.uint32).at[
             jnp.where(zhit, pix, p)].set(col, mode="drop")
         color = (blockmap.unpack_rgb(colbuf) / 255.0).reshape(h, w, 3)
