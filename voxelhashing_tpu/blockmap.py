@@ -164,7 +164,9 @@ def allocate(state: MapState, candidate_keys, cfg: MapConfig,
     keys0 = jnp.asarray(candidate_keys, jnp.int32).reshape(-1)
     h = cfg.table_size
     n_pool = cfg.num_blocks
-    cap = min(cfg.max_active_blocks * 2, n_pool)
+    # staging winners per frame are bounded by the frustum's block count
+    # (~active set); the compact list is sized to max_active_blocks
+    cap = min(cfg.max_active_blocks, n_pool)
 
     total = jnp.int32(0)
     for ri in range(rounds):
