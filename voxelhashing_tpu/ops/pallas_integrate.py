@@ -70,26 +70,30 @@ def _gather_kernel(v0_ref, u0_ref, img_ref, q_ref, out_ref):
     i = pl.program_id(0)
     lane = lax.broadcasted_iota(jnp.int32, (VOXELS_PER_BLOCK, _LANE), 1)
     lane8 = lane % 8
+    riota = lax.broadcasted_iota(jnp.int32, (_PATCH_ROWS, 1), 0)
     for k in range(_BATCH_A):
         b = i * _BATCH_A + k
         v0 = pl.multiple_of(v0_ref[b], 8)
         u0 = pl.multiple_of(u0_ref[b], 128)
         patch = img_ref[pl.ds(v0, _PATCH_ROWS), pl.ds(u0, _PATCH_COLS)]
 
-        q = q_ref[k, :, :]                               # [512,1] int32
+        # q lives voxel-on-LANES ([1,512]; a [512,1] layout would be
+        # lane-padded 128x in HBM — gigabytes of phantom traffic)
+        q = q_ref[k, :, :]                               # [1,512] int32
         invalid = q < 0
         qc = jnp.where(invalid, 0, q)
-        # dv sentinel -> one-hot row all-zero -> channels read as 0
-        dv = jnp.where(invalid, _PATCH_ROWS + 1, qc >> 8)
-        du = qc & (_PATCH_COLS - 1)
+        # dv sentinel -> one-hot column all-zero -> channels read as 0
+        dv = jnp.where(invalid, _PATCH_ROWS + 1, qc >> 8)    # [1,512]
+        du = qc & (_PATCH_COLS - 1)                          # [1,512]
 
-        onehot = (dv == lax.broadcasted_iota(
-            jnp.int32, (1, _PATCH_ROWS), 1)).astype(jnp.bfloat16)
-        sel = jnp.dot(onehot, patch,
-                      preferred_element_type=jnp.float32)    # [512,256]
+        oh_t = (dv == riota).astype(jnp.bfloat16)        # [32,512]
+        # sel[v,u] = sum_r oh_t[r,v] * patch[r,u]  (contract dim 0 x dim 0)
+        sel = lax.dot_general(oh_t, patch, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # [512,256]
 
         # column pick: lane j of the result reads channel j (j<6)
-        idx = du + lane8                                 # [512,128]
+        du_col = jnp.transpose(du, (1, 0))               # [512,1]
+        idx = du_col + lane8                             # [512,128]
         lo = idx & (_LANE - 1)
         hi = idx >> 7                                    # 0 or 1
         g0 = _lane_gather(sel[:, :_LANE], lo)
@@ -106,7 +110,7 @@ def _run_gather(img, q, v0, u0, g, interpret):
         in_specs=[
             pl.BlockSpec(img.shape, lambda i, v0, u0: (0, 0),
                          memory_space=pltpu.VMEM),          # resident image
-            pl.BlockSpec((_BATCH_A, VOXELS_PER_BLOCK, 1),
+            pl.BlockSpec((_BATCH_A, 1, VOXELS_PER_BLOCK),
                          lambda i, v0, u0: (i, 0, 0),
                          memory_space=pltpu.VMEM),          # q per batch
         ],
@@ -203,7 +207,7 @@ def integrate_pallas(state: MapState, depth, color, pose,
     q_ok = on & (dv >= 0) & (dv < _PATCH_ROWS) \
         & (du >= 0) & (du < _PATCH_COLS - (_NCH - 1))
     q = jnp.where(q_ok, dv * _PATCH_COLS + du, -1).astype(jnp.int32)
-    q = q.reshape(g, VOXELS_PER_BLOCK, 1)
+    q = q.reshape(g, 1, VOXELS_PER_BLOCK)
 
     # ---- Kernel A: gather channels ------------------------------------
     chans = _run_gather(img, q, v0.astype(jnp.int32), u0.astype(jnp.int32),
