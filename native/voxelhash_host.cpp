@@ -129,8 +129,18 @@ int32_t chunkstore_pop_in_sphere(void* h, float cx, float cy, float cz,
         float d = std::sqrt((mx - cx) * (mx - cx) + (my - cy) * (my - cy) +
                             (mz - cz) * (mz - cz));
         if (d + half_diag >= radius) continue;
-        if (n_out + (int32_t)kv.second.size() > cap) continue;
-        for (const Block& b : kv.second) {
+        // A chunk that alone exceeds the transfer cap must SPLIT rather
+        // than be skipped forever (starvation edge): take `cap - n_out`
+        // blocks now, keep the remainder filed for later calls.
+        int32_t take = (int32_t)kv.second.size();
+        bool partial = false;
+        if (n_out + take > cap) {
+            take = cap - n_out;
+            if (take <= 0) continue;
+            partial = true;
+        }
+        for (int32_t i = 0; i < take; ++i) {
+            const Block& b = kv.second[kv.second.size() - 1 - i];
             keys[n_out] = b.key;
             std::memcpy(sdf + (size_t)n_out * kVoxelsPerBlock, b.sdf,
                         sizeof(b.sdf));
@@ -140,7 +150,11 @@ int32_t chunkstore_pop_in_sphere(void* h, float cx, float cy, float cz,
                         sizeof(b.color));
             ++n_out;
         }
-        to_erase.push_back(ck);
+        if (partial) {
+            kv.second.resize(kv.second.size() - take);
+        } else {
+            to_erase.push_back(ck);
+        }
         ++popped;
     }
     for (const auto& ck : to_erase) s->chunks.erase(ck);

@@ -88,8 +88,11 @@ def frame_source(args, cfg):
             d, c = _resample(d, c, seq.camera, cam)
             yield d, c, p
     elif kind == "sens":
-        from voxelhashing_tpu.io.sensfile import SensReader
-        r = SensReader(path)
+        # comma-separated files chain into one sequence (loadNextSensFile,
+        # DepthSensing.cpp:959-979)
+        from voxelhashing_tpu.io.sensfile import SensChainReader, SensReader
+        paths = path.split(",")
+        r = SensChainReader(paths) if len(paths) > 1 else SensReader(paths[0])
         n = min(len(r), args.frames) if args.frames else len(r)
         for i in range(n):
             d, c, p = r.read_frame(i)
@@ -132,7 +135,11 @@ def main():
     ap.add_argument("--render-dir", default=None,
                     help="dump per-frame renders (renderToFile analog)")
     ap.add_argument("--histogram", action="store_true")
-    ap.add_argument("--timings", action="store_true")
+    ap.add_argument("--timings", action="store_true",
+                    help="per-frame per-level ICP confidence + stage timing")
+    ap.add_argument("--convergence", default=None,
+                    help="save per-level residual-vs-iteration curves "
+                         "(ConvergenceAnalysis) to this file")
     ap.add_argument("--posegraph", action="store_true",
                     help="keyframe pose graph + loop closure + optimization")
     ap.add_argument("--record", default=None,
@@ -164,6 +171,8 @@ def main():
     step = engine.make_step(cfg, with_hint=use_hint, donate=False,
                             with_stream_mask=args.streaming)
     timing = diagnostics.TimingLog()
+    icp_log = diagnostics.ICPErrorLog()
+    conv = diagnostics.ConvergenceAnalysis() if args.convergence else None
     mgr = None
     if args.streaming:
         mgr = streaming_mod.StreamingManager(cfg.map, cfg.streaming)
@@ -224,12 +233,18 @@ def main():
             from voxelhashing_tpu import engine as eng
             model = eng.render_view(state, cfg)
             rtf(model, cam=cam)
+        icp_log.record_frame_levels(diag.icp_level_stats)
+        if conv is not None:
+            conv.record_frame(diag.icp_iter_residuals)
         print(f"frame {i:4d}: blocks={int(diag.n_allocated_blocks):6d} "
               f"active={int(diag.n_active_blocks):6d} "
               f"res={float(diag.icp_residual):.2e} "
               f"corr={int(diag.icp_corr_count):6d} "
               f"valid={bool(diag.tracking_valid)}"
+              + (f" missed={int(diag.alloc_missed)}" if cfg.offline else "")
               + (f" hostblocks={mgr.host_block_count()}" if mgr else ""))
+        if args.timings:
+            print(icp_log.report_last())
     dt = time.time() - t0
     n_frames = len(est)
 
@@ -256,6 +271,9 @@ def main():
         print("hash histogram:", h)
     if args.timings:
         print(timing.report())
+    if conv is not None:
+        conv.save(args.convergence)
+        print(f"convergence curves -> {args.convergence}")
     if args.save_map:
         n = streaming_mod.save_map(args.save_map, state.map, cfg.map,
                                    poses=np.stack(est))

@@ -157,6 +157,35 @@ class TestDeleteRehash:
         np.testing.assert_array_equal(np.asarray(found2), survivors)
         assert_healthy(state, cfg)
 
+    def test_realloc_resident_keys_after_partial_delete(self):
+        """ADVICE r1 (high): re-offering still-resident keys after deletes
+        must not claim a tombstone earlier in their probe chain — that would
+        shadow the resident block (losing its TSDF) and leak the pool slot.
+        """
+        state, keys = self._alloc(n=90, seed=9)
+        idx, found0 = blockmap.lookup(state, jnp.asarray(keys), SMALL)
+        # keys can miss the initial alloc under staging collisions (online
+        # drop-retry semantics); the property under test concerns residents
+        keys = keys[np.asarray(found0)]
+        idx, _ = blockmap.lookup(state, jnp.asarray(keys), SMALL)
+        kill = jnp.arange(len(keys)) % 3 == 0
+        state = blockmap.delete_blocks(state, idx, kill, SMALL)
+        # dirty the survivors so shadowing would be observable
+        survivors = keys[~np.asarray(kill)]
+        sidx, _ = blockmap.lookup(state, jnp.asarray(survivors), SMALL)
+        state = state._replace(weight=state.weight.at[sidx].add(5.0))
+
+        state, n = blockmap.allocate(state, jnp.asarray(keys), SMALL)
+        state, n2 = blockmap.allocate(state, jnp.asarray(keys), SMALL)
+        # only the deleted keys re-allocate (two passes = retry semantics);
+        # survivors keep their blocks
+        assert int(n) + int(n2) == int(kill.sum())
+        assert_healthy(state, SMALL)
+        sidx2, found = blockmap.lookup(state, jnp.asarray(survivors), SMALL)
+        assert bool(jnp.all(found))
+        np.testing.assert_array_equal(np.asarray(sidx2), np.asarray(sidx))
+        assert float(state.weight[np.asarray(sidx2)].sum()) > 0.0
+
     def test_rehash_clears_tombstones_preserves_contents(self):
         state, keys = self._alloc(n=80, seed=7)
         idx, _ = blockmap.lookup(state, jnp.asarray(keys), SMALL)

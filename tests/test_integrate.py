@@ -103,6 +103,25 @@ class TestIntegrate:
         np.testing.assert_allclose(c, np.asarray(WALL.wall_color) / 2.0,
                                    atol=0.02)
 
+    def test_bilinear_color_flag(self):
+        """cfg.bilinear_color samples color with the validity-weighted
+        4-tap filter (bilinearFilterColor, CUDASceneRepHashSDF.cu:379-410):
+        on a constant-color wall it matches nearest; the flag is exercised
+        end-to-end."""
+        cfg = dataclasses.replace(CFG, bilinear_color=True)
+        depth, color = wall_depth()
+        pose = jnp.eye(4)
+        state = blockmap.create(cfg)
+        state, _ = integrate.allocate_from_depth(state, depth, pose, CAM, cfg)
+        state = integrate.integrate(state, depth, color, pose, CAM, cfg)
+        z = np.asarray([[0.0, 0.0, 2.0]])
+        vox = geom.world_to_voxel(jnp.asarray(z, jnp.float32), cfg.voxel_size)
+        _, w, c = blockmap.gather_voxels(state, vox, cfg)
+        assert float(w[0]) > 0
+        c = np.asarray(c[0]).astype(np.float32) / 255.0
+        np.testing.assert_allclose(c, np.asarray(WALL.wall_color) / 2.0,
+                                   atol=0.02)
+
     def test_sdf_converges_with_noise(self):
         rng_frames = 6
         state = blockmap.create(CFG)

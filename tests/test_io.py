@@ -47,6 +47,61 @@ class TestSensRoundTrip:
     def test_raw_depth(self, tmp_path):
         self._roundtrip(tmp_path, compress=False)
 
+    def test_occi_codec_roundtrip(self):
+        """OCCI bitstream grammar: all token classes exercised."""
+        rng = np.random.default_rng(0)
+        # runs, +/-1 steps, +/-2 steps, resets — u16 values < 2048
+        vals = np.concatenate([
+            np.zeros(20, np.uint16),
+            np.full(7, 100, np.uint16),
+            100 + np.cumsum(rng.integers(-2, 3, 50)).clip(0, 2047),
+            rng.integers(0, 2048, 30),
+            np.full(40, 1234, np.uint16),
+        ]).astype(np.uint16)
+        buf = sensfile.occi_encode(vals)
+        out = sensfile.occi_decode(buf, len(vals))
+        np.testing.assert_array_equal(out, vals)
+        # real runs compress: a smooth frame beats raw by a lot
+        smooth = np.full(4096, 777, np.uint16)
+        assert len(sensfile.occi_encode(smooth)) < 4096 * 2 // 8
+
+    def test_occi_depth_file(self, tmp_path):
+        """A .sens written with the OCCI depth codec replays correctly
+        (sensorData.h:1027-1028 makes OCCI the reference's default)."""
+        depths, colors, poses = make_data()
+        path = os.path.join(tmp_path, "seq_occi.sens")
+        intr = np.eye(4, dtype=np.float32)
+        # shift 256/m keeps mm-scale depth < 2048 for the 11-bit resets
+        sensfile.write_sens(path, depths, colors, poses, intr,
+                            depth_shift=256.0,
+                            depth_codec=sensfile.DEPTH_OCCI)
+        r = sensfile.SensReader(path)
+        assert r.header.depth_compression == sensfile.DEPTH_OCCI
+        d, c, p = r.read_frame(1)
+        valid = np.isfinite(depths[1])
+        np.testing.assert_allclose(d[valid], depths[1][valid],
+                                   atol=0.5 / 256.0 + 1e-6)
+        r.close()
+
+    def test_chain_reader(self, tmp_path):
+        """Two .sens files replay as one sequence (loadNextSensFile)."""
+        depths, colors, poses = make_sequence(5, CAM, Scene())
+        intr = np.eye(4, dtype=np.float32)
+        p1 = os.path.join(tmp_path, "a.sens")
+        p2 = os.path.join(tmp_path, "b.sens")
+        sensfile.write_sens(p1, depths[:2], colors[:2], poses[:2], intr)
+        sensfile.write_sens(p2, depths[2:], colors[2:], poses[2:], intr)
+        chain = sensfile.SensChainReader([p1, p2])
+        assert len(chain) == 5
+        for i in (0, 2, 4):
+            d, c, p = chain.read_frame(i)
+            np.testing.assert_allclose(p, poses[i], atol=1e-6)
+            valid = np.isfinite(depths[i])
+            np.testing.assert_allclose(d[valid], depths[i][valid], atol=1e-3)
+        assert len(chain.ground_truth()) == 5
+        assert len(list(chain.frames())) == 5
+        chain.close()
+
 
 class TestTum:
     def _make_tum_dir(self, tmp_path):
@@ -91,6 +146,21 @@ class TestTum:
         np.testing.assert_allclose(d[valid], depths[1][valid], atol=1e-3)
         np.testing.assert_allclose(c, colors[1], atol=1 / 255.0)
         np.testing.assert_allclose(p, poses[1], atol=1e-5)
+
+    def test_tum_to_sens_converter(self, tmp_path):
+        """TUM directory -> .sens -> replay matches direct TUM reads, so
+        real datasets flow through the same path the reference uses."""
+        root, depths, colors, poses = self._make_tum_dir(tmp_path)
+        out = os.path.join(root, "seq.sens")
+        n = sensfile.tum_to_sens(root, out)
+        assert n == 3
+        r = sensfile.SensReader(out)
+        assert r.header.sensor_name == "tum"
+        d, c, p = r.read_frame(1)
+        valid = np.isfinite(depths[1])
+        np.testing.assert_allclose(d[valid], depths[1][valid], atol=2e-3)
+        np.testing.assert_allclose(p, poses[1], atol=1e-5)
+        r.close()
 
     def test_quat_identity(self):
         np.testing.assert_allclose(tum.quat_to_matrix(0, 0, 0, 1), np.eye(3),

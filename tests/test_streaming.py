@@ -82,6 +82,36 @@ class TestStreaming:
         masked = mgr.alloc_mask_keys(keys)
         assert np.all(np.asarray(masked) == INVALID_KEY)
 
+    def test_stream_in_refiles_unplaced_blocks(self):
+        """ADVICE r1 (medium): payloads allocation fails to place (pool
+        full) must return to the host store, never be dropped."""
+        import dataclasses
+        from voxelhashing_tpu import geometry as geom
+        tiny = dataclasses.replace(CFG, num_blocks=16, table_size=64)
+        mgr = streaming.StreamingManager(tiny, SCFG, out_cap=256)
+        # one host chunk holding 32 blocks: only 16 can fit on device.
+        # bpc = 0.64/0.16 = 4, so blocks (0..3, 0..3, 48..49) share chunk
+        # (0,0,12) with world centre (0.32, 0.32, 8.0).
+        blocks = jnp.asarray([[i % 4, (i // 4) % 4, 48 + i // 16]
+                              for i in range(32)], jnp.int32)
+        keys = np.asarray(geom.pack_block_key(blocks, tiny.world_blocks))
+        v = np.random.default_rng(0).normal(
+            size=(32, 512)).astype(np.float32)
+        mgr.store.file_blocks(keys, v, np.abs(v) + 1.0,
+                              np.zeros((32, 512), np.uint32))
+        assert mgr.host_block_count() == 32
+        cam_pos = np.array([0.32, 0.32, 8.0], np.float32)
+        state = blockmap.create(tiny)
+        moved_total = 0
+        for _ in range(4):
+            state, moved = mgr.stream_in(state, cam_pos)
+            moved_total += moved
+        n_dev = int(blockmap.stats(state, tiny)["n_allocated"])
+        # nothing lost: device + host == 32
+        assert n_dev + mgr.host_block_count() == 32
+        assert n_dev == 16
+        assert moved_total == 16
+
     def test_in_sphere_blocks_stay(self):
         state = fused_state()
         n0 = int(blockmap.stats(state, CFG)["n_allocated"])

@@ -200,6 +200,16 @@ def _allocate_unique(state: MapState, keys, cfg: MapConfig
     k = keys.shape[0]
     inst = jnp.arange(k, dtype=jnp.int32)
 
+    # A key's probe chain may contain tombstones BEFORE its occupied slot
+    # (deletes don't compact chains), so claiming the first empty/tombstone
+    # slot without knowing the key is absent would shadow the resident block
+    # with a duplicate entry (losing its TSDF and leaking the pool slot).
+    # Pre-probe the full chain — tombstone-aware, exactly `lookup` — and
+    # drop keys that are already resident. Candidates are unique within
+    # this call (staging dedup), so the pre-probe can't go stale mid-loop.
+    _, resident = lookup(state, keys, cfg)
+    keys = jnp.where(resident, INVALID_KEY, keys)
+
     free = state.block_key == INVALID_KEY                      # [N]
     n_free = jnp.sum(free.astype(jnp.int32))
     free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1

@@ -96,9 +96,21 @@ class MapConfig:
     # 1024^3 block keys pack into one int32 (30 bits).
     world_blocks: int = 1024
 
-    # Garbage collection (CUDASceneRepHashSDF.h:327-333).
+    # Garbage collection (CUDASceneRepHashSDF.h:327-333): identify+free runs
+    # every frame; starvation every `gc_starve_interval` frames.
     gc_starve_interval: int = 15  # s_garbageCollectionStarve
     gc_enabled: bool = True
+    # Bilinear (validity-weighted) color sampling during integration — the
+    # reference ships this helper but calls it commented-out
+    # (bilinearFilterColor, CUDASceneRepHashSDF.cu:379-410, call site :440);
+    # both default to nearest. Enabling it routes integration through the
+    # XLA path (the Pallas kernel gathers nearest by design).
+    bilinear_color: bool = False
+    # Offline replay loops allocation toward fixpoint with this many rounds
+    # (the reference iterates until no new allocs, CUDASceneRepHashSDF.h:
+    # 251-267; bounded here for static shapes — tests measure the residual
+    # miss rate is zero at this bound). Online mode always uses 1 round.
+    alloc_rounds_offline: int = 3
 
     @property
     def block_size_world(self) -> float:
@@ -119,14 +131,32 @@ class TrackerConfig:
 
     levels: int = 3
     max_outer_iter: Tuple[int, ...] = (8, 6, 4)       # fine -> coarse
+    # Gauss-Newton re-solves per correspondence search: the outer iteration
+    # re-associates, each inner iteration re-linearises about the updated
+    # delta against the SAME correspondences (computeBestRigidAlignment,
+    # CUDACameraTrackingMultiRes.cpp:213-250).
     max_inner_iter: Tuple[int, ...] = (1, 1, 1)
     dist_thres: Tuple[float, ...] = (0.15, 0.15, 0.15)
     normal_thres: Tuple[float, ...] = (0.97, 0.97, 0.97)
     angle_trans_thres: Tuple[float, ...] = (1.0, 1.0, 1.0)   # radians
     dist_trans_thres: Tuple[float, ...] = (1.0, 1.0, 1.0)    # meters
     residual_early_out: Tuple[float, ...] = (0.01, 0.01, 0.01)
-    cond_thres: float = 150.0   # LinearSystemConfidence lost heuristic (ICPErrorLog.h:38-50)
-    angle_thres: float = math.pi / 3.0  # s_ICPAngleThres
+    # Condition-number lost gate, ENFORCED inside the solve (unlike the
+    # reference, whose condThres argument is threaded but never compared and
+    # whose isTrackingLost() 150-heuristic lives in dead code,
+    # ICPErrorLog.h:38-50 / CUDACameraTrackingMultiRes.cpp:213-250). The
+    # system here is whitened (centered/scaled — the machinery the reference
+    # stubs out with mean=0, stddev=1), so condition measures geometric
+    # degeneracy: trackable scenes (even noisy, near-planar ones) sit at
+    # cond ~50-1000, while a rank-deficient bare wall blows past 1e6.
+    # Below the gate, singular directions weaker than s0/cond_thres are
+    # truncated rather than amplified (see tracking._solve6).
+    cond_thres: float = 2.0e4
+    # NOTE: the reference's s_ICPAngleThres is dead in its non-RGBD tracker
+    # (the angleThres argument threaded through computeBestRigidAlignment is
+    # shadowed by the per-level s_angleTransThres inside
+    # delinearizeTransformation, CUDACameraTrackingMultiRes.cpp:194-201), so
+    # no equivalent knob exists here — angle_trans_thres is the real gate.
 
 
 @dataclasses.dataclass(frozen=True)
@@ -149,9 +179,9 @@ class RaycastConfig:
     refine_trilinear: bool = False
     # march mode: every ray evaluates `num_samples` TSDF samples in one
     # fused pass (no sequential loop); step = max(ray_increment,
-    # band / num_samples) within the per-tile splat band.
+    # band / num_samples) within the per-tile splat band. This IS the march
+    # step cap (the reference's implicit g_MaxLoopIterCount analog).
     num_samples: int = 48
-    max_steps: int = 320                 # kept for config parity (unused cap)
     splat_enabled: bool = True           # per-tile depth bounds from blocks
     splat_tile: int = 16                 # screen tile size for min/max bounds
 

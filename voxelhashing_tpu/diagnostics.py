@@ -175,6 +175,42 @@ class ICPErrorLog:
             return self.frames[-1][-1]
         return None
 
+    def record_frame_levels(self, level_stats) -> List[LinearSystemConfidence]:
+        """Record one frame's device-side per-level stats.
+
+        ``level_stats``: the engine's ``FrameDiagnostics.icp_level_stats``
+        ([levels, 4] = mean_residual, condition, corr_count, sum_weight,
+        row 0 = finest) — the on-device analog of the per-level
+        LinearSystemConfidence the reference fills in
+        CUDACameraTrackingMultiRes.cpp:312-319. Coarse-to-fine order is
+        preserved in the record list (coarsest first, like the reference's
+        per-level logging).
+        """
+        self.new_frame()
+        arr = np.asarray(level_stats, np.float64)
+        for res, cond, corr, sum_w in arr[::-1]:      # coarse -> fine
+            self.record(LinearSystemConfidence(
+                sum_residual=float(res * sum_w),
+                sum_weight=float(sum_w),
+                num_corr=int(corr),
+                condition=float(cond),
+                matrix_condition=float(cond)))
+        return self.frames[-1]
+
+    def report_last(self) -> str:
+        """One line per level for the last frame (printed like the
+        reference's per-frame ICP log)."""
+        if not self.frames or not self.frames[-1]:
+            return "icp: (no records)"
+        lines = []
+        n = len(self.frames[-1])
+        for i, c in enumerate(self.frames[-1]):
+            mean = c.sum_residual / max(c.sum_weight, 1e-12)
+            lines.append(
+                f"  icp L{n - 1 - i}: res={mean:.3e} cond={c.condition:8.2f}"
+                f" corr={c.num_corr:6d} lost={c.is_tracking_lost()}")
+        return "\n".join(lines)
+
 
 class ConvergenceAnalysis:
     """Residual-vs-iteration curves (ConvergenceAnalysis.h): record per-
@@ -190,6 +226,16 @@ class ConvergenceAnalysis:
         if not self.curves:
             self.new_curve()
         self.curves[-1].append(residual)
+
+    def record_frame(self, iter_residuals):
+        """Record the engine's ``FrameDiagnostics.icp_iter_residuals``
+        ([levels, max_iters], NaN-padded) as one curve per level."""
+        arr = np.asarray(iter_residuals, np.float64)
+        for row in arr[::-1]:                          # coarse -> fine
+            self.new_curve()
+            for r in row:
+                if not math.isnan(r):
+                    self.record(float(r))
 
     def save(self, path: str):
         with open(path, "w") as f:

@@ -46,9 +46,15 @@ class FrameDiagnostics(NamedTuple):
     n_allocated_blocks: jax.Array   # i32[] pool occupancy after this frame
     n_active_blocks: jax.Array      # i32[] in-frustum blocks this frame
     active_overflow: jax.Array      # i32[] blocks dropped by the active cap
+    splat_overflow: jax.Array       # i32[] surface blocks past the splat cap
+    alloc_missed: jax.Array         # i32[] allocs still pending after rounds
     icp_residual: jax.Array         # f32[]
     icp_corr_count: jax.Array       # i32[]
     icp_condition: jax.Array        # f32[]
+    # per-level LinearSystemConfidence records + convergence curves (the
+    # reference logs these per frame, CUDACameraTrackingMultiRes.cpp:312-319)
+    icp_level_stats: jax.Array      # f32[levels,4] (res, cond, corr, sum_w)
+    icp_iter_residuals: jax.Array   # f32[levels,max_iters] NaN-padded
     tracking_valid: jax.Array       # bool[]
 
 
@@ -65,30 +71,47 @@ def create(cfg: EngineConfig, initial_pose=None) -> EngineState:
 
 
 def _integrate_frame(state: MapState, frame: FrameInputs, pose,
-                     cfg: EngineConfig, frame_idx, stream_bitmask=None):
+                     cfg: EngineConfig, frame_idx, stream_bitmask=None,
+                     map_cfg=None, key_filter=None):
     """alloc -> compactify -> integrate -> gc (CUDASceneRepHashSDF::integrate,
-    CUDASceneRepHashSDF.h:64-83)."""
-    cam, mp = cfg.camera, cfg.map
+    CUDASceneRepHashSDF.h:64-83).
+
+    ``map_cfg``: overrides ``cfg.map`` (the distributed step passes its
+    per-device shard capacity). ``key_filter``: optional mask over the DDA
+    candidate keys (the distributed step drops keys its device does not
+    own) — this single function IS the integrate pipeline for both the
+    single-device and the shard_map engines.
+    """
+    cam = cfg.camera
+    mp = map_cfg if map_cfg is not None else cfg.map
+    keys = integ.alloc_candidates(frame.depth, pose, cam, mp)
+    if key_filter is not None:
+        keys = key_filter(keys)
     if stream_bitmask is not None:
         # never re-allocate streamed-out space (isSDFBlockStreamedOut,
         # CUDASceneRepHashSDF.cu:219)
         from . import streaming as streaming_mod
-        keys = integ.alloc_candidates(frame.depth, pose, cam, mp)
         lin = streaming_mod.key_to_chunk_linear(keys, mp, cfg.streaming)
         word = stream_bitmask[lin // 32]
         bit = (word >> (lin % 32).astype(jnp.uint32)) & 1
         keys = jnp.where(bit == 1, jnp.int32(0x7FFFFFFF), keys)
-        state, _ = blockmap.allocate(state, keys, mp)
+    # Online mode: one alloc round per frame (missed allocs retried next
+    # frame — the reference's bucket-lock drop semantics); offline replay
+    # runs a bounded fixpoint loop (CUDASceneRepHashSDF.h:251-267).
+    rounds = mp.alloc_rounds_offline if cfg.offline else 1
+    state, _ = blockmap.allocate(state, keys, mp, rounds=rounds)
+    if cfg.offline:
+        # Exact fixpoint check (off the real-time path): candidate
+        # instances still absent after the bounded rounds.
+        _, found = blockmap.lookup(state, keys, mp)
+        alloc_missed = jnp.sum(
+            ((keys != geom.INVALID_KEY) & ~found).astype(jnp.int32))
     else:
-        # online mode: one alloc round per frame (missed allocs retried next
-        # frame); offline replay approximates the fixpoint with two rounds
-        state, _ = integ.allocate_from_depth(
-            state, frame.depth, pose, cam, mp,
-            rounds=2 if cfg.offline else 1)
+        alloc_missed = jnp.int32(0)
     view = geom.invert_rigid(pose)
     active_idx, n_active, overflow = blockmap.compactify(state, view, cam, mp)
     active_mask = jnp.arange(active_idx.shape[0]) < n_active
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and not mp.bilinear_color:
         from .ops.pallas_integrate import integrate_pallas
         state = integrate_pallas(state, frame.depth, frame.color, pose,
                                  cam, mp, active_idx, n_active)
@@ -97,16 +120,16 @@ def _integrate_frame(state: MapState, frame: FrameInputs, pose,
                                 mp, active_idx=active_idx,
                                 active_mask=active_mask)
     if mp.gc_enabled:
-        def run_gc(s):
-            s = integ.starve(s, active_idx, active_mask)
-            return integ.garbage_collect(s, active_idx, active_mask, mp)
-
+        # Reference cadence (CUDASceneRepHashSDF.h:64-83,327-333): starve
+        # every `gc_starve_interval` frames, identify+free EVERY frame.
         state = jax.lax.cond(
             (frame_idx > 0)
             & (jnp.mod(frame_idx, mp.gc_starve_interval) == 0),
-            run_gc, lambda s: s, state)
+            lambda s: integ.starve(s, active_idx, active_mask),
+            lambda s: s, state)
+        state = integ.garbage_collect(state, active_idx, active_mask, mp)
     state = blockmap.maybe_rehash(state, mp)
-    return state, active_idx, active_mask, n_active, overflow
+    return state, active_idx, active_mask, n_active, overflow, alloc_missed
 
 
 def step(state: EngineState, depth_raw, color_raw, cfg: EngineConfig,
@@ -125,22 +148,30 @@ def step(state: EngineState, depth_raw, color_raw, cfg: EngineConfig,
     is_first = state.frame == 0
 
     # --- Surface prediction at the last pose (model for ICP). -------------
-    view = geom.invert_rigid(state.pose)
+    # With a GT-init hint the raycast ALSO happens at the hint pose (the
+    # reference sets lastRigidTransform from the trajectory before the
+    # render, DepthSensing.cpp:738-804) — the model must live in the same
+    # camera frame the tracker treats as "last".
+    raycast_pose = state.pose
+    if cfg.use_trajectory_only_init and pose_hint is not None:
+        raycast_pose = jnp.asarray(pose_hint, jnp.float32)
+    view = geom.invert_rigid(raycast_pose)
     active_idx, n_active, _ = blockmap.compactify(state.map, view, cam,
                                                   cfg.map)
     active_mask = jnp.arange(active_idx.shape[0]) < n_active
-    model = raycast.render(state.map, state.pose, cam, cfg.map, cfg.raycast,
+    model = raycast.render(state.map, raycast_pose, cam, cfg.map, cfg.raycast,
                            active_idx=active_idx, active_mask=active_mask,
                            with_color=False)
 
     # --- Tracking. --------------------------------------------------------
     if cfg.use_trajectory and pose_hint is not None:
         pose = jnp.asarray(pose_hint, jnp.float32)
-        track_valid = jnp.array(True)
-        tr = TrackingResult(pose=pose, valid=track_valid,
+        zstats, zcurve = tracking.empty_stats(cfg.tracker)
+        tr = TrackingResult(pose=pose, valid=jnp.array(True),
                             residual=jnp.float32(0.0),
                             corr_count=jnp.int32(0),
-                            condition=jnp.float32(0.0))
+                            condition=jnp.float32(0.0),
+                            level_stats=zstats, iter_residuals=zcurve)
     else:
         last_pose = state.pose
         if cfg.use_trajectory_only_init and pose_hint is not None:
@@ -149,24 +180,27 @@ def step(state: EngineState, depth_raw, color_raw, cfg: EngineConfig,
                             model.points, model.normals,
                             last_pose, cam, cfg.tracker)
         # Frame 0 has no model: keep the initial pose, mark valid.
+        zstats, zcurve = tracking.empty_stats(cfg.tracker)
         tr = TrackingResult(
             pose=jnp.where(is_first, state.pose, tr.pose),
             valid=tr.valid | is_first,
             residual=jnp.where(is_first, 0.0, tr.residual),
             corr_count=jnp.where(is_first, 0, tr.corr_count),
-            condition=jnp.where(is_first, 0.0, tr.condition))
+            condition=jnp.where(is_first, 0.0, tr.condition),
+            level_stats=jnp.where(is_first, zstats, tr.level_stats),
+            iter_residuals=jnp.where(is_first, zcurve, tr.iter_residuals))
 
     # --- Integration (skipped when tracking lost, DepthSensing.cpp:874-879).
     def do_integrate(m):
-        new_map, _, _, n_act, ovf = _integrate_frame(
+        new_map, _, _, n_act, ovf, missed = _integrate_frame(
             m, frame, tr.pose, cfg, state.frame,
             stream_bitmask=stream_bitmask)
-        return new_map, n_act, ovf
+        return new_map, n_act, ovf, missed
 
     def skip_integrate(m):
-        return m, jnp.int32(0), jnp.int32(0)
+        return m, jnp.int32(0), jnp.int32(0), jnp.int32(0)
 
-    new_map, n_act, overflow = jax.lax.cond(
+    new_map, n_act, overflow, alloc_missed = jax.lax.cond(
         tr.valid, do_integrate, skip_integrate, state.map)
 
     st = blockmap.stats(new_map, cfg.map)
@@ -174,9 +208,13 @@ def step(state: EngineState, depth_raw, color_raw, cfg: EngineConfig,
         n_allocated_blocks=st["n_allocated"],
         n_active_blocks=n_act,
         active_overflow=overflow,
+        splat_overflow=model.splat_overflow,
+        alloc_missed=alloc_missed,
         icp_residual=tr.residual,
         icp_corr_count=tr.corr_count,
         icp_condition=tr.condition,
+        icp_level_stats=tr.level_stats,
+        icp_iter_residuals=tr.iter_residuals,
         tracking_valid=tr.valid,
     )
     new_state = EngineState(

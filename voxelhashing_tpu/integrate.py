@@ -254,7 +254,13 @@ def integrate(state: MapState, depth, color, pose, cam: CameraConfig,
     w_new = jnp.maximum(
         cfg.integration_weight_sample * 1.5 * (1.0 - depth01), 1.0)
 
-    if color is not None:
+    if color is not None and cfg.bilinear_color:
+        # Validity-weighted bilinear color (bilinearFilterColor,
+        # CUDASceneRepHashSDF.cu:379-410): 4 neighbour gathers around the
+        # continuous projection, weights dropped where a corner is invalid.
+        c_new, c_ok2 = _bilinear_color(color, uf, vf, cam)   # [M,512]
+        update &= c_ok2
+    elif color is not None:
         # frame colors are [0,1]; voxel colors 0..255 (reference scales by
         # 255 at CUDASceneRepHashSDF.cu:474); packed u32 per pixel.
         packed, c_ok = _pack_frame_color(color)
@@ -288,6 +294,58 @@ def integrate(state: MapState, depth, color, pose, cam: CameraConfig,
         weight=state.weight.at[safe_idx].set(out_w, mode="drop"),
         color=state.color.at[safe_idx].set(out_c, mode="drop"),
     )
+
+
+def _bilinear_color(color, uf, vf, cam: CameraConfig):
+    """Validity-weighted bilinear color sample at continuous pixel coords.
+
+    Mirrors bilinearFilterColor (CUDASceneRepHashSDF.cu:379-410): the four
+    neighbours of the rounded centre weighted by the fractional offsets,
+    invalid corners dropping out of the normalisation. Returns
+    (packed u32 [...], valid bool [...]).
+    """
+    h, w = cam.height, cam.width
+    packed, c_ok = _pack_frame_color(color)
+    cflat = packed.reshape(-1)
+    okflat = c_ok.reshape(-1)
+
+    p00x = jnp.floor(uf + 0.5).astype(jnp.int32)
+    p00y = jnp.floor(vf + 0.5).astype(jnp.int32)
+    dirx = jnp.where(uf - p00x >= 0, 1, -1).astype(jnp.int32)
+    diry = jnp.where(vf - p00y >= 0, 1, -1).astype(jnp.int32)
+    alpha = (uf - p00x) * dirx
+    beta = (vf - p00y) * diry
+
+    def fetch(px, py):
+        on = (px >= 0) & (px < w) & (py >= 0) & (py < h)
+        idx = jnp.clip(py, 0, h - 1) * w + jnp.clip(px, 0, w - 1)
+        c = blockmap.unpack_rgb(cflat[idx])
+        ok = on & okflat[idx]
+        return c, ok
+
+    c00, ok00 = fetch(p00x, p00y)
+    c10, ok10 = fetch(p00x + dirx, p00y)
+    c01, ok01 = fetch(p00x, p00y + diry)
+    c11, ok11 = fetch(p00x + dirx, p00y + diry)
+
+    w00 = jnp.where(ok00, (1 - alpha), 0.0)
+    w10 = jnp.where(ok10, alpha, 0.0)
+    s0 = c00 * w00[..., None] + c10 * w10[..., None]
+    wr0 = w00 + w10
+    w01 = jnp.where(ok01, (1 - alpha), 0.0)
+    w11 = jnp.where(ok11, alpha, 0.0)
+    s1 = c01 * w01[..., None] + c11 * w11[..., None]
+    wr1 = w01 + w11
+
+    p0 = s0 / jnp.maximum(wr0, 1e-12)[..., None]
+    p1 = s1 / jnp.maximum(wr1, 1e-12)[..., None]
+    wb0 = jnp.where(wr0 > 0, 1 - beta, 0.0)
+    wb1 = jnp.where(wr1 > 0, beta, 0.0)
+    ss = p0 * wb0[..., None] + p1 * wb1[..., None]
+    ww = wb0 + wb1
+    out = ss / jnp.maximum(ww, 1e-12)[..., None]
+    valid = ww > 0
+    return blockmap.pack_rgb(out), valid
 
 
 def _blend_packed(old_c, new_c):
@@ -336,4 +394,10 @@ def garbage_collect(state: MapState, active_idx, active_mask,
     max_w = jnp.max(w, axis=-1)
     t = cfg.truncation_at(cfg.max_integration_distance)
     cull = active_mask & ((min_sdf >= t) | (max_w == 0.0))
-    return blockmap.delete_blocks(state, active_idx, cull, cfg)
+    # The free pass (table tombstoning + row zeroing) is skipped entirely
+    # on frames that cull nothing — identify runs every frame like the
+    # reference, but most frames flag zero blocks.
+    return jax.lax.cond(
+        jnp.any(cull),
+        lambda s: blockmap.delete_blocks(s, active_idx, cull, cfg),
+        lambda s: s, state)

@@ -29,8 +29,17 @@ class Sphere:
 
 
 @dataclasses.dataclass(frozen=True)
+class Box:
+    """Axis-aligned box (clutter/occluder primitive for stress scenes)."""
+
+    lo: Tuple[float, float, float]
+    hi: Tuple[float, float, float]
+    color: Tuple[float, float, float] = (0.7, 0.5, 0.2)
+
+
+@dataclasses.dataclass(frozen=True)
 class Scene:
-    """A wall plane z = wall_z (world) plus spheres in front of it."""
+    """A wall plane z = wall_z (world) plus spheres/boxes in front of it."""
 
     wall_z: float = 2.5
     wall_color: Tuple[float, float, float] = (0.6, 0.6, 0.65)
@@ -41,6 +50,7 @@ class Scene:
         Sphere(center=(-0.5, -0.2, 2.0), radius=0.25,
                color=(0.2, 0.5, 0.8)),
     )
+    boxes: Tuple[Box, ...] = ()
 
     def sdf(self, p: np.ndarray) -> np.ndarray:
         """Signed distance to the scene surface at world points [...,3]."""
@@ -50,6 +60,15 @@ class Scene:
         for s in self.spheres:
             d = np.minimum(
                 d, np.linalg.norm(p - np.asarray(s.center), axis=-1) - s.radius)
+        for b in self.boxes:
+            lo = np.asarray(b.lo, np.float32)
+            hi = np.asarray(b.hi, np.float32)
+            c = (lo + hi) * 0.5
+            h = (hi - lo) * 0.5
+            q = np.abs(p - c) - h
+            outside = np.linalg.norm(np.maximum(q, 0.0), axis=-1)
+            inside = np.minimum(np.max(q, axis=-1), 0.0)
+            d = np.minimum(d, outside + inside)
         return d
 
 
@@ -104,6 +123,18 @@ def render_depth(pose: np.ndarray, cam: CameraConfig, scene: Scene,
         t_s = (-b - sq) / (2 * a)
         consider(t_s, hit, s.color)
 
+    for bx in scene.boxes:
+        # Slab-method ray/AABB intersection, vectorised over pixels.
+        lo = np.asarray(bx.lo, np.float32)
+        hi = np.asarray(bx.hi, np.float32)
+        safe = np.where(np.abs(dirs) > 1e-12, dirs, 1e-12)
+        t0 = (lo - origin) / safe
+        t1 = (hi - origin) / safe
+        t_near = np.max(np.minimum(t0, t1), axis=-1)
+        t_far = np.min(np.maximum(t0, t1), axis=-1)
+        hit = (t_near <= t_far) & (t_far > 0.0)
+        consider(np.where(t_near > 0.0, t_near, np.inf), hit, bx.color)
+
     # best_t parameterises unit-z rays, so it IS the z-depth.
     depth = np.where(np.isfinite(best_t), best_t, np.nan).astype(np.float32)
     depth = np.where((depth >= cam.depth_min) & (depth <= cam.depth_max),
@@ -113,6 +144,48 @@ def render_depth(pose: np.ndarray, cam: CameraConfig, scene: Scene,
         depth = depth + rng.normal(
             0.0, noise_sigma, depth.shape).astype(np.float32)
     return depth, color
+
+
+def kinect_noise(depth: np.ndarray, cam: CameraConfig, seed: int = 0,
+                 baseline: float = 0.075, dropout_grad: float = 0.04,
+                 salt_dropout: float = 0.002,
+                 fx_raw: float = 580.0) -> np.ndarray:
+    """Realistic structured-light depth corruption (stress-test model).
+
+    Models the three dominant Kinect-class artifacts the reference's real
+    replays contain (BinaryDumpReader/.sens dumps of actual sensors):
+
+    * **Disparity quantisation**: depth is observed as d = f*b/z rounded to
+      1/8 disparity steps, so axial error grows ~z^2 and depth comes in
+      discrete slabs.
+    * **Axial Gaussian noise** on the disparity (constant in disparity =
+      quadratic in depth), sigma = 1/12 disparity step.
+    * **Edge dropout**: pixels across strong depth discontinuities return
+      invalid (occlusion shadows of the projector), plus a small salt
+      dropout everywhere.
+    """
+    rng = np.random.default_rng(seed)
+    # quantisation is a property of the RAW sensor (640-px-class fx), not of
+    # the downsampled working resolution
+    fb = fx_raw * baseline
+    valid = np.isfinite(depth) & (depth > 0)
+    z = np.where(valid, depth, 1.0)
+    disp = fb / z                               # disparity in pixels
+    disp = disp + rng.normal(0.0, 1.0 / 12.0, disp.shape)
+    disp = np.round(disp * 8.0) / 8.0           # 1/8-pixel quantisation
+    z_q = fb / np.maximum(disp, 1e-6)
+
+    # edge dropout: strong local depth gradient -> invalid
+    gy = np.abs(np.diff(z, axis=0, prepend=z[:1]))
+    gx = np.abs(np.diff(z, axis=1, prepend=z[:, :1]))
+    edge = (np.maximum(gx, gy) > dropout_grad)
+    # dilate the edge band one pixel (occlusion shadow)
+    edge = (edge
+            | np.roll(edge, 1, 0) | np.roll(edge, -1, 0)
+            | np.roll(edge, 1, 1) | np.roll(edge, -1, 1))
+    drop = edge | (rng.random(z.shape) < salt_dropout)
+    out = np.where(valid & ~drop, z_q, np.nan).astype(np.float32)
+    return out
 
 
 def _rot_y(a: float) -> np.ndarray:
@@ -143,6 +216,38 @@ def make_trajectory(n_frames: int, translation_step: float = 0.008,
         pose[2, 3] = -0.2 * translation_step * i
         poses.append(pose)
     return poses
+
+
+def clutter_scene() -> Scene:
+    """Occlusion-heavy stress scene: boxes in front of spheres in front of
+    wall+floor, with strong depth discontinuities from every view."""
+    return Scene(
+        wall_z=2.6,
+        floor_y=0.9,
+        spheres=(
+            Sphere(center=(0.0, 0.25, 2.0), radius=0.3),
+            Sphere(center=(-0.55, -0.15, 2.2), radius=0.25,
+                   color=(0.2, 0.5, 0.8)),
+            Sphere(center=(0.65, 0.0, 1.9), radius=0.2,
+                   color=(0.3, 0.7, 0.3)),
+        ),
+        boxes=(
+            Box(lo=(-0.15, -0.05, 1.15), hi=(0.2, 0.45, 1.45)),
+            Box(lo=(-0.75, 0.3, 1.5), hi=(-0.35, 0.75, 1.85),
+                color=(0.4, 0.3, 0.6)),
+            Box(lo=(0.35, -0.5, 1.6), hi=(0.75, -0.15, 2.0),
+                color=(0.25, 0.55, 0.55)),
+            Box(lo=(-0.3, 0.6, 2.0), hi=(0.5, 0.9, 2.5),
+                color=(0.6, 0.55, 0.3)),
+        ),
+    )
+
+
+def wall_only_scene(z: float = 2.0) -> Scene:
+    """Textureless-wall degeneracy scene: a single fronto-parallel plane.
+    Point-to-plane ICP on it constrains only (z, pitch, yaw); the 6x6
+    system's condition number must trip the tracking-lost gate."""
+    return Scene(wall_z=z, floor_y=None, spheres=(), boxes=())
 
 
 def make_sequence(n_frames: int, cam: CameraConfig,

@@ -104,9 +104,17 @@ def _gather_kernel(v0_ref, u0_ref, img_ref, q_ref, out_ref):
 
 
 def _run_gather(img, q, v0, u0, g, interpret):
+    # Pad the block count up to a multiple of the per-step batch so the
+    # last g % _BATCH_A active blocks are never silently skipped (padding
+    # rows carry q = -1 -> all-invalid -> zero output, masked by is_real).
+    gp = -(-g // _BATCH_A) * _BATCH_A
+    if gp != g:
+        q = jnp.pad(q, ((0, gp - g), (0, 0), (0, 0)), constant_values=-1)
+        v0 = jnp.pad(v0, (0, gp - g))
+        u0 = jnp.pad(u0, (0, gp - g))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(g // _BATCH_A,),
+        grid=(gp // _BATCH_A,),
         in_specs=[
             pl.BlockSpec(img.shape, lambda i, v0, u0: (0, 0),
                          memory_space=pltpu.VMEM),          # resident image
@@ -118,13 +126,14 @@ def _run_gather(img, q, v0, u0, g, interpret):
                                lambda i, v0, u0: (i, 0, 0),
                                memory_space=pltpu.VMEM),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _gather_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((g, 8, VOXELS_PER_BLOCK),
+        out_shape=jax.ShapeDtypeStruct((gp, 8, VOXELS_PER_BLOCK),
                                        jnp.float32),
         interpret=interpret,
     )(v0, u0, img, q)
+    return out[:g]
 
 
 # ---------------------------------------------------------------------------

@@ -37,7 +37,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import CameraConfig, EngineConfig, MapConfig
-from .. import blockmap, geometry as geom, integrate as integ, raycast, tracking
+from .. import blockmap, geometry as geom, raycast, tracking
 from ..blockmap import MapState
 from ..geometry import INVALID_KEY
 from ..ops.image import preprocess
@@ -131,16 +131,16 @@ def make_sharded_step(cfg: EngineConfig, mesh: Mesh):
         do_int = tr.valid | is_first
 
         # ---- allocate + integrate own partition ------------------------
+        # THE engine pipeline (alloc fixpoint -> compactify -> Pallas/XLA
+        # integrate -> GC every frame -> rehash) with the shard's capacity
+        # and an ownership filter on the DDA candidates — not a fork.
+        from .. import engine as engine_mod
+
         def integrate_branch(m):
-            keys = integ.alloc_candidates(frame.depth, new_pose, cam, lcfg)
-            keys = _owned(keys, n_dev)
-            m, _ = blockmap.allocate(m, keys, lcfg)
-            view2 = geom.invert_rigid(new_pose)
-            ai, na, _ = blockmap.compactify(m, view2, cam, lcfg)
-            am = jnp.arange(ai.shape[0]) < na
-            m = integ.integrate(m, frame.depth, frame.color, new_pose,
-                                cam, lcfg, active_idx=ai, active_mask=am)
-            return m
+            m2, _, _, _, _, _ = engine_mod._integrate_frame(
+                m, frame, new_pose, cfg, frame_idx,
+                map_cfg=lcfg, key_filter=lambda k: _owned(k, n_dev))
+            return m2
 
         mstate = lax.cond(do_int, integrate_branch, lambda m: m, mstate)
         mstate_b = jax.tree_util.tree_map(lambda x: x[None], mstate)
@@ -168,56 +168,13 @@ def _track_distributed(in_p, in_n, md_p, md_n, last_pose,
 
     Input maps are this device's ROW SHARD; the model maps are global.
     Correspondence projection indexes the full model image, so only the
-    reduction needs communication.
+    reduction needs communication. This is THE engine tracker
+    (:func:`voxelhashing_tpu.tracking.track`) with a psum reduction — not a
+    forked copy of the loop.
     """
-    levels = cfg.levels
-    in_pyr = tracking.build_pyramid(in_p, in_n, levels)
-    md_pyr = tracking.build_pyramid(md_p, md_n, levels)
-
-    delta = jnp.eye(4, dtype=jnp.float32)
-    lost = jnp.array(False)
-    residual = jnp.float32(0.0)
-    corr = jnp.int32(0)
-    condition = jnp.float32(0.0)
-
-    for level in range(levels - 1, -1, -1):
-        cam_l = tracking._level_camera(cam, level)
-        ip, inn = in_pyr[level]
-        mp, mn = md_pyr[level]
-        done = jnp.array(False)
-        last_res = jnp.float32(jnp.inf)
-        for _ in range(cfg.max_outer_iter[level]):
-            a, b, sum_res, sum_w, count = tracking._build_system(
-                delta, ip, inn, mp, mn, cam_l,
-                cfg.dist_thres[level], cfg.normal_thres[level],
-                cam.depth_min, cam.depth_max)
-            a = lax.psum(a, AXIS)
-            b = lax.psum(b, AXIS)
-            sum_res = lax.psum(sum_res, AXIS)
-            sum_w = lax.psum(sum_w, AXIS)
-            count = lax.psum(count, AXIS)
-            mean_res = sum_res / jnp.maximum(sum_w, 1e-12)
-            done |= jnp.abs(last_res - mean_res) \
-                < cfg.residual_early_out[level]
-            last_res = mean_res
-            x, cond, degen = tracking._solve6(a, b, cfg.cond_thres)
-            step_ok = tracking._check_step(
-                x, cfg.angle_trans_thres[level], cfg.dist_trans_thres[level])
-            bad = degen | ~step_ok | (count < 64)
-            lost |= bad & ~done
-            use = ~done & ~bad
-            delta = jnp.where(use, geom.pose_from_x(x) @ delta, delta)
-            residual = jnp.where(use | done, mean_res, residual)
-            corr = jnp.where(use | done, count, corr)
-            condition = jnp.where(use, cond, condition)
-            done |= bad
-
-    new_pose = last_pose @ delta
-    valid = ~lost & jnp.all(jnp.isfinite(new_pose))
-    pose_out = jnp.where(valid, new_pose, last_pose)
-    return tracking.TrackingResult(pose=pose_out, valid=valid,
-                                   residual=residual, corr_count=corr,
-                                   condition=condition)
+    psum_sys = lambda t: tuple(lax.psum(x, AXIS) for x in t)  # noqa: E731
+    return tracking.track(in_p, in_n, md_p, md_n, last_pose, cam, cfg,
+                          reduce_fn=psum_sys)
 
 
 def gather_map(state: ShardedState, lcfg: MapConfig, cfg: MapConfig
@@ -231,7 +188,7 @@ def gather_map(state: ShardedState, lcfg: MapConfig, cfg: MapConfig
     n_dev = stacked.block_key.shape[0]
     for d in range(n_dev):
         keys = jnp.asarray(stacked.block_key[d])
-        merged, _ = ins(merged, keys, jnp.asarray(stacked.sdf[d]),
-                        jnp.asarray(stacked.weight[d]),
-                        jnp.asarray(stacked.color[d]))
+        merged, _, _ = ins(merged, keys, jnp.asarray(stacked.sdf[d]),
+                           jnp.asarray(stacked.weight[d]),
+                           jnp.asarray(stacked.color[d]))
     return merged

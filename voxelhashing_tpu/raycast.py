@@ -44,6 +44,9 @@ class RaycastResult(NamedTuple):
     points: jax.Array   # f32[h,w,3]  camera-space positions, NaN invalid
     normals: jax.Array  # f32[h,w,3]  camera-space normals, NaN invalid
     color: jax.Array    # f32[h,w,3]  surface color in [0,1]
+    # i32[] surface blocks beyond the splat cull cap this frame (splat mode
+    # falls back to an uncalled full-list splat when > 0; march mode: 0).
+    splat_overflow: jax.Array
 
 
 # ---------------------------------------------------------------------------
@@ -260,7 +263,8 @@ def render_splat(state: MapState, pose, cam: CameraConfig, cfg: MapConfig,
     # --- Surface-block cull: only ~15-30% of active (truncation-band)
     # blocks contain voxels in the narrow surface band |sdf| < voxel; the
     # expensive projection+scatter phases run only on those (static cap =
-    # half the active list, overflow falls back conservatively).
+    # half the active list). If the cull overflows (surface-dense view),
+    # fall back to splatting the FULL active list — slower, never lossy.
     sdf_all = state.sdf[active_idx]                           # [M,512] rows
     wgt_all = state.weight[active_idx]
     surf_rows = (wgt_all > 0.0) & (jnp.abs(sdf_all) < vs)
@@ -272,54 +276,28 @@ def render_splat(state: MapState, pose, cam: CameraConfig, cfg: MapConfig,
     sel = jnp.zeros((m2,), jnp.int32).at[
         jnp.where(keep, rank, m2)].set(
         jnp.arange(m_full, dtype=jnp.int32), mode="drop")
-    n_surf = jnp.minimum(jnp.sum(has_surf.astype(jnp.int32)), m2)
+    n_surf_total = jnp.sum(has_surf.astype(jnp.int32))
+    n_surf = jnp.minimum(n_surf_total, m2)
     sel_mask = jnp.arange(m2) < n_surf
+    overflow = n_surf_total - n_surf
 
-    sdf = sdf_all[sel]                                        # [M2,512]
-    wgt = wgt_all[sel]
-    sel_active = active_idx[sel]
+    def splat_culled(_):
+        return _splat_zbuf(state, sdf_all[sel], wgt_all[sel],
+                           active_idx[sel], sel_mask, view, cam, cfg,
+                           with_color)
 
-    # --- Per-voxel projection (all [M2,512] SoA). ------------------------
-    blocks = geom.unpack_block_key(state.block_key[sel_active],
-                                   cfg.world_blocks)          # [M2,3]
-    base = geom.block_to_voxel(blocks)
-    off_x, off_y, off_z = _local_offsets()
-    wx = (base[:, 0:1] + off_x[None, :]).astype(jnp.float32) * vs
-    wy = (base[:, 1:2] + off_y[None, :]).astype(jnp.float32) * vs
-    wz = (base[:, 2:3] + off_z[None, :]).astype(jnp.float32) * vs
-    r, t = view[:3, :3], view[:3, 3]
-    px = r[0, 0] * wx + r[0, 1] * wy + r[0, 2] * wz + t[0]
-    py = r[1, 0] * wx + r[1, 1] * wy + r[1, 2] * wz + t[1]
-    pz = r[2, 0] * wx + r[2, 1] * wy + r[2, 2] * wz + t[2]
+    def splat_full(_):
+        return _splat_zbuf(state, sdf_all, wgt_all, active_idx, has_surf,
+                           view, cam, cfg, with_color)
 
-    surface = (wgt > 0.0) & (jnp.abs(sdf) < vs) & sel_mask[:, None]
-
-    z_surf = pz + sdf            # projective-TSDF surface depth prediction
-    safe_z = jnp.where(pz == 0.0, 1e-12, pz)
-    ui = jnp.floor(px * cam.fx / safe_z + cam.cx + 0.5).astype(jnp.int32)
-    vi = jnp.floor(py * cam.fy / safe_z + cam.cy + 0.5).astype(jnp.int32)
-    ok = (surface & (pz > 0.0)
-          & (ui >= 0) & (ui < w) & (vi >= 0) & (vi < h)
-          & (z_surf > cam.depth_min) & (z_surf < cam.depth_max))
-    pix = jnp.where(ok, vi * w + ui, p)                       # p = dropped
-
-    # --- Z-buffer scatter-min (+ color recovery when asked). -------------
-    # Each 13.6M-element scatter/gather pass costs ~70-100 ms on TPU, so
-    # the tracking path (with_color=False) does exactly ONE scatter; color
-    # recovery (a zbuf-equality gather + masked color scatter) only runs
-    # for visualization renders.
-    inf = jnp.float32(jnp.inf)
-    zbuf = jnp.full((p,), inf, jnp.float32).at[pix].min(z_surf, mode="drop")
+    zbuf, colbuf = jax.lax.cond(overflow > 0, splat_full, splat_culled,
+                                operand=None)
     depth = jnp.where(jnp.isfinite(zbuf), zbuf, jnp.nan).reshape(h, w)
-
     if with_color:
-        zhit = ok & (zbuf[jnp.clip(pix, 0, p - 1)] == z_surf)
-        col = state.color[sel_active]
-        colbuf = jnp.zeros((p,), jnp.uint32).at[
-            jnp.where(zhit, pix, p)].set(col, mode="drop")
         color = (blockmap.unpack_rgb(colbuf) / 255.0).reshape(h, w, 3)
     else:
         color = jnp.zeros((h, w, 3), jnp.float32)
+    inf = jnp.float32(jnp.inf)
 
     # --- Close-range hole fill: valid-min dilation on invalid pixels. ----
     for _ in range(rc.hole_fill_rounds):
@@ -367,7 +345,61 @@ def render_splat(state: MapState, pose, cam: CameraConfig, cfg: MapConfig,
     normals = geom.normals_from_points(pts)
     color = jnp.where(jnp.isfinite(depth)[..., None], color, 0.0)
     return RaycastResult(depth=depth, points=pts, normals=normals,
-                         color=color)
+                         color=color, splat_overflow=overflow)
+
+
+def _splat_zbuf(state: MapState, sdf, wgt, sel_active, row_mask, view,
+                cam: CameraConfig, cfg: MapConfig, with_color: bool):
+    """Project the given blocks' surface-band voxels and scatter-min their
+    predicted surface depths into a flat z-buffer.
+
+    ``sdf``/``wgt``: [M,512] row-gathered voxel data for pool indices
+    ``sel_active`` [M]; ``row_mask`` [M] marks real rows. Returns
+    (zbuf f32[h*w] (+inf = empty), colbuf u32[h*w]).
+    """
+    h, w = cam.height, cam.width
+    p = h * w
+    vs = cfg.voxel_size
+
+    # --- Per-voxel projection (all [M,512] SoA). -------------------------
+    blocks = geom.unpack_block_key(state.block_key[sel_active],
+                                   cfg.world_blocks)          # [M,3]
+    base = geom.block_to_voxel(blocks)
+    off_x, off_y, off_z = _local_offsets()
+    wx = (base[:, 0:1] + off_x[None, :]).astype(jnp.float32) * vs
+    wy = (base[:, 1:2] + off_y[None, :]).astype(jnp.float32) * vs
+    wz = (base[:, 2:3] + off_z[None, :]).astype(jnp.float32) * vs
+    r, t = view[:3, :3], view[:3, 3]
+    px = r[0, 0] * wx + r[0, 1] * wy + r[0, 2] * wz + t[0]
+    py = r[1, 0] * wx + r[1, 1] * wy + r[1, 2] * wz + t[1]
+    pz = r[2, 0] * wx + r[2, 1] * wy + r[2, 2] * wz + t[2]
+
+    surface = (wgt > 0.0) & (jnp.abs(sdf) < vs) & row_mask[:, None]
+
+    z_surf = pz + sdf            # projective-TSDF surface depth prediction
+    safe_z = jnp.where(pz == 0.0, 1e-12, pz)
+    ui = jnp.floor(px * cam.fx / safe_z + cam.cx + 0.5).astype(jnp.int32)
+    vi = jnp.floor(py * cam.fy / safe_z + cam.cy + 0.5).astype(jnp.int32)
+    ok = (surface & (pz > 0.0)
+          & (ui >= 0) & (ui < w) & (vi >= 0) & (vi < h)
+          & (z_surf > cam.depth_min) & (z_surf < cam.depth_max))
+    pix = jnp.where(ok, vi * w + ui, p)                       # p = dropped
+
+    # --- Z-buffer scatter-min (+ color recovery when asked). -------------
+    # Each 13.6M-element scatter/gather pass costs ~70-100 ms on TPU, so
+    # the tracking path (with_color=False) does exactly ONE scatter; color
+    # recovery (a zbuf-equality gather + masked color scatter) only runs
+    # for visualization renders.
+    inf = jnp.float32(jnp.inf)
+    zbuf = jnp.full((p,), inf, jnp.float32).at[pix].min(z_surf, mode="drop")
+    if with_color:
+        zhit = ok & (zbuf[jnp.clip(pix, 0, p - 1)] == z_surf)
+        col = state.color[sel_active]
+        colbuf = jnp.zeros((p,), jnp.uint32).at[
+            jnp.where(zhit, pix, p)].set(col, mode="drop")
+    else:
+        colbuf = jnp.zeros((p,), jnp.uint32)
+    return zbuf, colbuf
 
 
 def _local_offsets():
@@ -487,4 +519,4 @@ def render_march(state: MapState, pose, cam: CameraConfig, cfg: MapConfig,
     else:
         normals = geom.normals_from_points(p_cam)
     return RaycastResult(depth=depth, points=p_cam, normals=normals,
-                         color=color)
+                         color=color, splat_overflow=jnp.int32(0))

@@ -108,9 +108,15 @@ def extract_blocks(state: MapState, pool_idx):
 
 
 def insert_blocks(state: MapState, keys, sdf, weight, color,
-                  cfg: MapConfig) -> Tuple[MapState, jax.Array]:
+                  cfg: MapConfig) -> Tuple[MapState, jax.Array, jax.Array]:
     """Mass-allocate streamed-in blocks and write their payloads
-    (chunkToGlobalHashPass1/2, CUDASceneRepChunkGrid.cu:143-189)."""
+    (chunkToGlobalHashPass1/2, CUDASceneRepChunkGrid.cu:143-189).
+
+    Returns (state, n_inserted, placed_mask). ``placed_mask`` marks keys
+    whose payload landed in the map; allocation can fail under probe
+    exhaustion or a full pool, and the caller must re-file unplaced blocks
+    (the reference throws on staging overflow, ChunkGrid.cpp:82,289-291 —
+    here the contract is: never silently drop a streamed-in payload)."""
     state, n_ins = blockmap.allocate(state, keys, cfg, rounds=2)
     pool_idx, found = blockmap.lookup(state, keys, cfg)
     ok = found & (keys != INVALID_KEY)
@@ -119,7 +125,7 @@ def insert_blocks(state: MapState, keys, sdf, weight, color,
         sdf=state.sdf.at[safe].set(sdf, mode="drop"),
         weight=state.weight.at[safe].set(weight, mode="drop"),
         color=state.color.at[safe].set(color, mode="drop"),
-    ), n_ins
+    ), n_ins, ok
 
 
 # ---------------------------------------------------------------------------
@@ -186,12 +192,25 @@ class PyChunkStore:
             if np.linalg.norm(centre - cam) + half_diag >= radius:
                 continue
             ch = self.chunks[cc]
-            if total + len(ch.keys) > cap:
-                continue
-            self.chunks.pop(cc)
+            take = len(ch.keys)
+            if total + take > cap:
+                # A chunk that alone exceeds the transfer cap would starve
+                # forever under a skip rule; split it instead (the remainder
+                # stays filed and moves on later calls).
+                take = cap - total
+                if take <= 0:
+                    continue
+                rest = HostChunk(keys=ch.keys[take:], sdf=ch.sdf[take:],
+                                 weight=ch.weight[take:],
+                                 color=ch.color[take:])
+                ch = HostChunk(keys=ch.keys[:take], sdf=ch.sdf[:take],
+                               weight=ch.weight[:take], color=ch.color[:take])
+                self.chunks[cc] = rest
+            else:
+                self.chunks.pop(cc)
             keys.append(ch.keys); sdfs.append(ch.sdf)
             ws.append(ch.weight); cs.append(ch.color)
-            total += len(ch.keys)
+            total += take
             popped += 1
         if not keys:
             z = np.zeros((0, VOXELS_PER_BLOCK), np.float32)
@@ -310,15 +329,23 @@ class StreamingManager:
         if n == 0:
             return state, 0
         pad = self.out_cap - n
-        state, _ = self._ins(
+        state, _, placed = self._ins(
             state,
             jnp.asarray(np.pad(keys, (0, pad),
                                constant_values=INVALID_KEY)),
             jnp.asarray(np.pad(sdf, ((0, pad), (0, 0)))),
             jnp.asarray(np.pad(w, ((0, pad), (0, 0)))),
             jnp.asarray(np.pad(c, ((0, pad), (0, 0)))))
+        # Re-file any payload allocation failed to place (probe exhaustion /
+        # pool full): pop_in_sphere already removed the chunk from the host
+        # store, so dropping these would lose map content permanently.
+        unplaced = ~np.asarray(placed)[:n]
+        n_lost = int(unplaced.sum())
+        if n_lost:
+            self.store.file_blocks(keys[unplaced], sdf[unplaced],
+                                   w[unplaced], c[unplaced])
         self._rebuild_bitmask()
-        return state, n
+        return state, n - n_lost
 
     def step(self, state: MapState, cam_pos) -> MapState:
         """One streaming epoch step (out then in, DepthSensing.cpp:881-900)."""
@@ -397,6 +424,11 @@ def load_map(path: str, cfg: MapConfig
     if n > cfg.num_blocks:
         raise ValueError(f"checkpoint has {n} blocks > pool {cfg.num_blocks}")
     ins = jax.jit(lambda s, k, sd, w, c: insert_blocks(s, k, sd, w, c, cfg))
-    state, _ = ins(state, jnp.asarray(keys), jnp.asarray(z["sdf"]),
-                   jnp.asarray(z["weight"]), jnp.asarray(z["color"]))
+    state, _, placed = ins(state, jnp.asarray(keys), jnp.asarray(z["sdf"]),
+                           jnp.asarray(z["weight"]), jnp.asarray(z["color"]))
+    n_lost = n - int(np.asarray(placed).sum())
+    if n_lost:
+        raise ValueError(
+            f"checkpoint load failed to place {n_lost} blocks "
+            f"(pool/table too small for this checkpoint)")
     return state, z["poses"]

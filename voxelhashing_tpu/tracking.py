@@ -43,6 +43,28 @@ class TrackingResult(NamedTuple):
     residual: jax.Array    # f32[]    mean point-to-plane residual (finest lvl)
     corr_count: jax.Array  # i32[]    correspondences at the finest level
     condition: jax.Array   # f32[]    condition number of the last 6x6 system
+    # Per-level solve records (LinearSystemConfidence, ICPErrorLog.h:16-58):
+    # [levels, 4] = (mean_residual, condition, corr_count, sum_weight) at
+    # each level's last executed iteration; row 0 = finest.
+    level_stats: jax.Array
+    # Residual-vs-iteration curves (ConvergenceAnalysis.h): [levels,
+    # max_iters] mean residual per (level, outer*inner iteration),
+    # NaN-padded past each level's budget; row 0 = finest.
+    iter_residuals: jax.Array
+
+
+def stats_shapes(cfg: TrackerConfig):
+    """Static shapes of TrackingResult.level_stats / .iter_residuals."""
+    max_iters = max(o * i for o, i in
+                    zip(cfg.max_outer_iter, cfg.max_inner_iter))
+    return (cfg.levels, 4), (cfg.levels, max_iters)
+
+
+def empty_stats(cfg: TrackerConfig):
+    """Zero/NaN-filled diagnostic arrays (frame 0 / GT-trajectory mode)."""
+    s_shape, c_shape = stats_shapes(cfg)
+    return jnp.zeros(s_shape, jnp.float32), jnp.full(c_shape, jnp.nan,
+                                                     jnp.float32)
 
 
 def _level_camera(cam: CameraConfig, level: int) -> CameraConfig:
@@ -69,18 +91,15 @@ def build_pyramid(points, normals, levels: int):
     return pyr
 
 
-def _build_system(delta, in_pts, in_nrm, tgt_pts, tgt_nrm,
-                  cam: CameraConfig, dist_thres: float, normal_thres: float,
-                  depth_min: float, depth_max: float):
-    """One projective-association + normal-equation pass.
+def _associate(delta, in_pts, in_nrm, tgt_pts, tgt_nrm,
+               cam: CameraConfig, dist_thres: float, normal_thres: float,
+               depth_min: float, depth_max: float):
+    """Projective correspondence search at the current delta.
 
-    Returns (A[6,6], b[6], sum_res, sum_w, count): the point-to-plane
-    Gauss-Newton system about the current delta.
-
-    Linearisation (matches the reference's packing semantics,
-    CUDABuildLinearSystem.cu:71-114): residual e = n_q . (p' - q) with
-    p' = delta(p); about identity p'' = p' + w x p' + t, so the Jacobian row
-    is j = [p' x n_q | n_q] and the rhs accumulates -j * e.
+    The reference's projectiveCorrespondencesKernel
+    (CUDAImageHelper.cu:70-125): transform, project, 1x1 lookup, reject by
+    distance and normal agreement, store the confidence weight. Returns
+    (q, nq, wgt, ok) — fixed inputs for the inner Gauss-Newton iterations.
     """
     r = delta[:3, :3]
     p = in_pts @ r.T + delta[:3, 3]                # [..,3] transformed input
@@ -108,15 +127,62 @@ def _build_system(delta, in_pts, in_nrm, tgt_pts, tgt_nrm,
                        0.0, 1.0)
     wgt = 0.5 * ((1.0 - dist / dist_thres) + (1.0 - depth01))
     wgt = jnp.where(ok, jnp.maximum(wgt, 0.0), 0.0)
+    nq = jnp.where(ok[..., None], nq, 0.0)
+    q = jnp.where(ok[..., None], q, 0.0)
+    return q, nq, wgt, ok
 
-    e = jnp.sum(nq * d, axis=-1)                   # point-to-plane residual
-    # Jacobian row about identity: e ~ e0 + (p x n).w + n.t.  The solve's x
+
+def _whitening(q, ok, reduce_sys):
+    """Centroid + scale of the valid correspondence targets.
+
+    The reference's computeBestRigidAlignment is built to solve in a
+    centered/scaled frame and de-whiten as ``meanStDev*t + mean - R*mean``
+    (CUDACameraTrackingMultiRes.cpp:205-207, delinearize :194-211), but its
+    kernel hardcodes mean=0, stddev=1 (CUDABuildLinearSystem.cu:154-155) —
+    the machinery is vestigial there. Here it is implemented for real:
+    centering removes the |p|-scale imbalance between the rotation and
+    translation blocks of JtJ, so the condition number actually measures
+    geometric degeneracy (a bare wall) rather than coordinate units.
+    ``reduce_sys`` makes the moments global across a device mesh.
+    """
+    okf = ok.astype(jnp.float32)
+    sum_q = jnp.sum(q * okf[..., None], axis=tuple(range(ok.ndim)))
+    sum_qq = jnp.sum(jnp.sum(q * q, -1) * okf)
+    cnt = jnp.sum(okf)
+    sum_q, sum_qq, cnt = reduce_sys((sum_q, sum_qq, cnt))
+    n = jnp.maximum(cnt, 1.0)
+    mean = sum_q / n
+    var = jnp.maximum(sum_qq / n - jnp.sum(mean * mean), 1e-8)
+    inv_std = jax.lax.rsqrt(var)
+    return mean, inv_std
+
+
+def _linearize(delta, in_pts, q, nq, wgt, ok, mean, inv_std):
+    """Point-to-plane normal equations about the current delta against
+    FIXED correspondences (the applyBL re-build inside the inner loop,
+    CUDABuildLinearSystem.cu:71-114 / CUDACameraTrackingMultiRes.cpp:217-246),
+    built in the whitened frame p' -> (p' - mean) * inv_std.
+
+    Returns (A[6,6], b[6], sum_res, sum_w, count).
+
+    Linearisation: residual e = n_q . (pc - qc) with pc = white(delta(p));
+    about identity pc' = pc + w x pc + t, so the Jacobian row is
+    j = [pc x n_q | n_q] and the rhs accumulates -j * e.
+    """
+    r = delta[:3, :3]
+    p = in_pts @ r.T + delta[:3, 3]
+    p = jnp.where(ok[..., None], p, 0.0)
+    pc = (p - mean) * inv_std
+    qc = (q - mean) * inv_std
+    pc = jnp.where(ok[..., None], pc, 0.0)
+    qc = jnp.where(ok[..., None], qc, 0.0)
+    e = jnp.sum(nq * (pc - qc), axis=-1)           # point-to-plane residual
+    # Jacobian row about identity: e ~ e0 + (pc x n).w + n.t.  The solve's x
     # is delinearised as Euler ZYX (pose_from_x), whose small-angle rotation
     # vector is (gamma, beta, alpha) = (w_x, w_y, w_z) with x = (alpha, beta,
     # gamma, t): so the rotation block is REVERSED: (w_z, w_y, w_x).
-    cr = jnp.cross(p, nq)
+    cr = jnp.cross(pc, nq)
     j = jnp.concatenate([cr[..., ::-1], nq], axis=-1)      # [..,6]
-    j = jnp.where(ok[..., None], j, 0.0)
     e = jnp.where(ok, e, 0.0)
 
     jw = j * wgt[..., None]
@@ -128,17 +194,46 @@ def _build_system(delta, in_pts, in_nrm, tgt_pts, tgt_nrm,
     return a, b, sum_res, sum_w, count
 
 
-def _solve6(a, b, cond_thres: float):
-    """Solve the 6x6 system with SVD + condition gate, on device.
+def _pose_from_x_whitened(x, mean, inv_std):
+    """De-whiten the solved update: R unchanged, translation
+    ``t = x_t/inv_std + mean - R.mean`` (delinearizeTransformation,
+    CUDACameraTrackingMultiRes.cpp:194-211 with meanStDev*t+mean-R*mean)."""
+    r = geom.euler_zyx_to_matrix(x[:3])
+    t = x[3:6] / inv_std + mean - r @ mean
+    m = jnp.eye(4, dtype=jnp.float32)
+    m = m.at[:3, :3].set(r).at[:3, 3].set(t)
+    return m
 
-    Mirrors the Eigen JacobiSVD solve and sigma0/sigma5 condition check
-    (CUDACameraTrackingMultiRes.cpp:228-237).
+
+def _build_system(delta, in_pts, in_nrm, tgt_pts, tgt_nrm,
+                  cam: CameraConfig, dist_thres: float, normal_thres: float,
+                  depth_min: float, depth_max: float):
+    """Associate + linearise in one pass (single-inner-iteration shape;
+    unwhitened — kept for unit tests of the raw linearisation)."""
+    q, nq, wgt, ok = _associate(delta, in_pts, in_nrm, tgt_pts, tgt_nrm,
+                                cam, dist_thres, normal_thres,
+                                depth_min, depth_max)
+    zero = jnp.zeros((3,), jnp.float32)
+    return _linearize(delta, in_pts, q, nq, wgt, ok, zero, jnp.float32(1.0))
+
+
+def _solve6(a, b, cond_thres: float):
+    """Solve the 6x6 system with truncated SVD + condition gate, on device.
+
+    Mirrors the Eigen JacobiSVD solve and sigma0/sigma5 condition record
+    (CUDACameraTrackingMultiRes.cpp:228-237), with two robustness upgrades:
+    singular directions weaker than s0/cond_thres are truncated (weakly
+    constrained DoF are left unchanged instead of amplifying noise), and
+    the lost gate fires only on true rank deficiency — a bare wall's 6x6
+    has three ~0 singular values (cond -> 1e20+), while hard-but-trackable
+    noisy scenes sit at cond ~100-1000.
     """
     u, s, vt = jnp.linalg.svd(a, full_matrices=False)
     cond = s[0] / jnp.maximum(s[5], 1e-20)
-    degenerate = (s[5] < 1e-10) | (cond > cond_thres) | ~jnp.all(
+    degenerate = (s[0] <= 0.0) | (cond > cond_thres) | ~jnp.all(
         jnp.isfinite(a))
-    s_inv = jnp.where(s > 1e-10, 1.0 / s, 0.0)
+    s_min = jnp.maximum(s[0] / cond_thres, 1e-10)
+    s_inv = jnp.where(s > s_min, 1.0 / s, 0.0)
     x = vt.T @ (s_inv * (u.T @ b))
     x = jnp.where(degenerate, jnp.zeros_like(x), x)
     return x, cond, degenerate
@@ -213,7 +308,7 @@ def track(input_points, input_normals, model_points, model_normals,
           last_pose, cam: CameraConfig, cfg: TrackerConfig,
           input_intensity=None, model_intensity=None,
           weight_depth: float = 1.0, weight_color: float = 0.1,
-          color_sigma: float = 0.1) -> TrackingResult:
+          color_sigma: float = 0.1, reduce_fn=None) -> TrackingResult:
     """Align the current frame to the raycast model; returns the new pose.
 
     ``input_*``: current-frame camera-space maps; ``model_*``: raycast maps
@@ -224,8 +319,15 @@ def track(input_points, input_normals, model_points, model_normals,
     When both intensities are given, photometric residuals join the system
     (the RGBD variant, CUDACameraTrackingMultiResRGBD; disabled by default
     like the reference's useRGBDTracking=false, DepthSensing.cpp:816).
+
+    ``reduce_fn``: optional reduction applied to the per-iteration system
+    tuple (A, b, sum_res, sum_w, count) — the distributed step passes a
+    psum over the device mesh here so the sharded tracker runs THIS loop
+    (no forked copy); ``input_*`` is then the device's row shard while the
+    model maps are global.
     """
     levels = cfg.levels
+    reduce_sys = reduce_fn if reduce_fn is not None else (lambda t: t)
     in_pyr = build_pyramid(input_points, input_normals, levels)
     md_pyr = build_pyramid(model_points, model_normals, levels)
     use_rgbd = input_intensity is not None and model_intensity is not None
@@ -240,6 +342,9 @@ def track(input_points, input_normals, model_points, model_normals,
     residual = jnp.float32(0.0)
     corr = jnp.int32(0)
     condition = jnp.float32(0.0)
+    _, (_, max_iters) = stats_shapes(cfg)
+    level_stats = [None] * levels          # per-level confidence records
+    curves = [None] * levels               # per-level residual curves
 
     for level in range(levels - 1, -1, -1):        # coarse -> fine
         cam_l = _level_camera(cam, level)
@@ -247,41 +352,72 @@ def track(input_points, input_normals, model_points, model_normals,
         md_p, md_n = md_pyr[level]
         done = jnp.array(False)
         last_res = jnp.float32(jnp.inf)
+        lvl_res = jnp.float32(0.0)
+        lvl_cond = jnp.float32(0.0)
+        lvl_corr = jnp.int32(0)
+        lvl_w = jnp.float32(0.0)
+        curve = []
         for _ in range(cfg.max_outer_iter[level]):
-            a, b, sum_res, sum_w, count = _build_system(
+            # Outer iteration: re-associate at the current delta.
+            q, nq, wgt, ok = _associate(
                 delta, in_p, in_n, md_p, md_n, cam_l,
                 cfg.dist_thres[level], cfg.normal_thres[level],
                 cam.depth_min, cam.depth_max)
-            if use_rgbd:
-                gx, gy = intensity_gradients(mi_pyr[level])
-                a_c, b_c, res_c, w_c, n_c = _build_system_color(
-                    delta, in_p, ii_pyr[level], mi_pyr[level], gx, gy,
-                    cam_l, color_sigma)
-                a = weight_depth * a + weight_color * a_c
-                b = weight_depth * b + weight_color * b_c
-                sum_res = weight_depth * sum_res + weight_color * res_c
-                sum_w = weight_depth * sum_w + weight_color * w_c
-            mean_res = sum_res / jnp.maximum(sum_w, 1e-12)
-            # Residual early-out (reference :300-335).
-            done |= jnp.abs(last_res - mean_res) < cfg.residual_early_out[level]
-            last_res = mean_res
+            mean, inv_std = _whitening(q, ok, reduce_sys)
+            # Inner iterations: re-linearise + solve against the fixed
+            # correspondences (computeBestRigidAlignment, MultiRes.cpp:217).
+            for _inner in range(cfg.max_inner_iter[level]):
+                a, b, sum_res, sum_w, count = reduce_sys(_linearize(
+                    delta, in_p, q, nq, wgt, ok, mean, inv_std))
+                if use_rgbd:
+                    gx, gy = intensity_gradients(mi_pyr[level])
+                    a_c, b_c, res_c, w_c, n_c = _build_system_color(
+                        delta, in_p, ii_pyr[level], mi_pyr[level], gx, gy,
+                        cam_l, color_sigma)
+                    a = weight_depth * a + weight_color * a_c
+                    b = weight_depth * b + weight_color * b_c
+                    sum_res = weight_depth * sum_res + weight_color * res_c
+                    sum_w = weight_depth * sum_w + weight_color * w_c
+                mean_res = sum_res / jnp.maximum(sum_w, 1e-12)
+                # Residual early-out (reference :300-335).
+                done |= jnp.abs(last_res - mean_res) \
+                    < cfg.residual_early_out[level]
+                last_res = mean_res
+                # convergence curve: residual while the level still runs
+                curve.append(jnp.where(done, jnp.nan, mean_res))
 
-            x, cond, degen = _solve6(a, b, cfg.cond_thres)
-            step_ok = _check_step(x, cfg.angle_trans_thres[level],
-                                  cfg.dist_trans_thres[level])
-            # Degenerate or implausible at any level => tracking lost
-            # (reference signals with the -inf matrix, :96, :228-246).
-            bad = degen | ~step_ok | (count < 64)
-            lost |= bad & ~done
-            use = ~done & ~bad
-            delta = jnp.where(use, geom.pose_from_x(x) @ delta, delta)
-            residual = jnp.where(use | done, mean_res, residual)
-            corr = jnp.where(use | done, count, corr)
-            condition = jnp.where(use, cond, condition)
-            done |= bad
+                x, cond, degen = _solve6(a, b, cfg.cond_thres)
+                # Step gate in physical units: rotation angle, and motion
+                # of the cloud centroid ||x_t||/inv_std in metres.
+                x_phys = x.at[3:6].set(x[3:6] / inv_std)
+                step_ok = _check_step(x_phys,
+                                      cfg.angle_trans_thres[level],
+                                      cfg.dist_trans_thres[level])
+                # Degenerate or implausible at any level => tracking lost
+                # (reference signals with the -inf matrix, :96, :228-246).
+                bad = degen | ~step_ok | (count < 64)
+                lost |= bad & ~done
+                use = ~done & ~bad
+                delta = jnp.where(
+                    use, _pose_from_x_whitened(x, mean, inv_std) @ delta,
+                    delta)
+                residual = jnp.where(use | done, mean_res, residual)
+                corr = jnp.where(use | done, count, corr)
+                condition = jnp.where(use, cond, condition)
+                lvl_res = jnp.where(use | done, mean_res, lvl_res)
+                lvl_cond = jnp.where(use, cond, lvl_cond)
+                lvl_corr = jnp.where(use | done, count, lvl_corr)
+                lvl_w = jnp.where(use | done, sum_w, lvl_w)
+                done |= bad
+        level_stats[level] = jnp.stack(
+            [lvl_res, lvl_cond, lvl_corr.astype(jnp.float32), lvl_w])
+        curves[level] = jnp.stack(
+            curve + [jnp.float32(jnp.nan)] * (max_iters - len(curve)))
 
     new_pose = last_pose @ delta
     valid = ~lost & jnp.all(jnp.isfinite(new_pose))
     pose_out = jnp.where(valid, new_pose, last_pose)
     return TrackingResult(pose=pose_out, valid=valid, residual=residual,
-                          corr_count=corr, condition=condition)
+                          corr_count=corr, condition=condition,
+                          level_stats=jnp.stack(level_stats),
+                          iter_residuals=jnp.stack(curves))
