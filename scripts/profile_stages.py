@@ -19,8 +19,9 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-STAGES = ["preprocess", "alloc", "compactify", "integrate", "splat",
-          "raycast", "track", "gc", "trilinear", "lookup", "step"]
+STAGES = ["preprocess", "alloc", "compactify", "integrate",
+          "pallas_integrate", "splat", "raycast", "raycast_color", "track",
+          "gc", "trilinear", "lookup", "step"]
 
 
 def run_stage(stage):
@@ -95,6 +96,13 @@ def run_stage(stage):
                                      + 0 * f(s)[0, 0].astype(jnp.int32)),
                 state, k=20)
     elif stage == "raycast":
+        # the tracking path (with_color=False; Pallas splat on TPU)
+        f = jax.jit(lambda s, p: raycast.render(
+            s, p, cam, mp, cfg.raycast, active_idx=active_idx,
+            active_mask=mask, with_color=False).depth)
+        measure(lambda p: p + 0.0 * jnp.nan_to_num(f(state, p)[0, 0]),
+                pose0, k=5)
+    elif stage == "raycast_color":
         f = jax.jit(lambda s, p: raycast.render(
             s, p, cam, mp, cfg.raycast, active_idx=active_idx,
             active_mask=mask).depth)
@@ -111,6 +119,11 @@ def run_stage(stage):
             frame.points, frame.normals, model.points, model.normals,
             p, cam, cfg.tracker).pose)
         measure(lambda p: p + 0.0 * f(p), pose0, k=10)
+    elif stage == "pallas_integrate":
+        from voxelhashing_tpu.ops.pallas_integrate import integrate_pallas
+        f = jax.jit(lambda s: integrate_pallas(
+            s, depth, color, pose0, cam, mp, active_idx, n_active))
+        measure(f, state, k=10)
     elif stage == "gc":
         f = jax.jit(lambda s: integrate.garbage_collect(
             s, active_idx, mask, mp))

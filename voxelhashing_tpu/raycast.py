@@ -281,17 +281,30 @@ def render_splat(state: MapState, pose, cam: CameraConfig, cfg: MapConfig,
     sel_mask = jnp.arange(m2) < n_surf
     overflow = n_surf_total - n_surf
 
+    # On TPU the tracking path (no color) runs the scatter-free Pallas
+    # splat kernel (ops/pallas_splat.py); the XLA scatter path remains the
+    # portable reference and the color/visualization renderer.
+    use_pallas = jax.default_backend() == "tpu" and not with_color
+
+    def _zfun(sdf_r, wgt_r, sel_a, mask_r):
+        if use_pallas:
+            from .ops.pallas_splat import splat_zbuf_pallas
+            zb, nclip = splat_zbuf_pallas(state, sdf_r, wgt_r, sel_a,
+                                          mask_r, view, cam, cfg)
+            return zb, jnp.zeros((h * w,), jnp.uint32), nclip
+        zb, cb = _splat_zbuf(state, sdf_r, wgt_r, sel_a, mask_r, view, cam,
+                             cfg, with_color)
+        return zb, cb, jnp.int32(0)
+
     def splat_culled(_):
-        return _splat_zbuf(state, sdf_all[sel], wgt_all[sel],
-                           active_idx[sel], sel_mask, view, cam, cfg,
-                           with_color)
+        return _zfun(sdf_all[sel], wgt_all[sel], active_idx[sel], sel_mask)
 
     def splat_full(_):
-        return _splat_zbuf(state, sdf_all, wgt_all, active_idx, has_surf,
-                           view, cam, cfg, with_color)
+        return _zfun(sdf_all, wgt_all, active_idx, has_surf)
 
-    zbuf, colbuf = jax.lax.cond(overflow > 0, splat_full, splat_culled,
-                                operand=None)
+    zbuf, colbuf, n_clipped = jax.lax.cond(overflow > 0, splat_full,
+                                           splat_culled, operand=None)
+    overflow = overflow + n_clipped
     depth = jnp.where(jnp.isfinite(zbuf), zbuf, jnp.nan).reshape(h, w)
     if with_color:
         color = (blockmap.unpack_rgb(colbuf) / 255.0).reshape(h, w, 3)
