@@ -1,29 +1,42 @@
-"""Pallas TPU kernels: per-block TSDF fusion (the integrate hot loop).
+"""Pallas TPU kernel: per-block TSDF fusion sampling (the integrate hot loop).
 
 The XLA formulation of ``integrateDepthMapKernel`` (reference:
 /root/reference/DepthSensingCUDA/Source/CUDASceneRepHashSDF.cu:412-492)
 needs two random image gathers per voxel — ~27M scalar gathers per frame,
 which XLA lowers to a ~130 M elem/s serial loop (~300 ms/frame).  This
-pipeline removes the scalar gathers entirely.  Three phases:
+kernel removes the scalar gathers entirely; the whole sampling pass
+(projection included) runs per active block on VMEM-resident data:
 
-1. **XLA prep** (good [G,512] layouts, pure elementwise): project every
-   voxel of every active block, producing a per-voxel patch-local index
-   ``q = dv*256 + du`` (or -1 for invalid) and per-block aligned patch
-   origins (v0, u0) into a channel-interleaved bf16 frame image
-   ``[h, 6*w]`` (depth in two bf16 limbs for f32-grade precision; color
-   channels; invalid pixels carry depth 0).
+1. **Affine projection in-kernel.** For a rigid block, camera-space voxel
+   positions decompose as ``p[v] = pb + A·off[v]``: a per-block base point
+   ``pb`` (3 floats, XLA-precomputed) plus a per-frame affine table
+   ``a[·][512]`` shared by every block.  Projection is then a handful of
+   [B,512] broadcast ops — no [G,512] XLA prep pass, no q/index arrays in
+   HBM.
 
-2. **Kernel A (gather)**: grid over active blocks; per block slice a
-   [32, 256] patch from the VMEM-resident image, select each voxel's patch
-   row with a one-hot [512,32] @ patch MXU matmul (exact selection), then
-   pick its column with per-lane ``tpu.dynamic_gather`` passes — lanes 0-5
-   of the result hold the 6 interleaved channels.  Output: [G, 512, 8].
+2. **Folded-patch gather.** Each block's 512 voxels sample a [32 x 512]
+   window of the 8-channel-interleaved bf16 image (d_hi, d_lo, r, g, b,
+   0, 0, 0 per pixel — depth split into two bf16 limbs for f32-grade
+   precision).  The window's four 128-lane chunks are stacked on sublanes
+   into a [128, 128] tile, so a single one-hot [128,512] MXU matmul picks
+   each voxel's (row, chunk) pair and ONE 128-lane ``tpu.dynamic_gather``
+   picks its column — channel c lands in lane ``c (mod 8)`` because the
+   8-channel interleave keeps groups lane-aligned (no straddle, no hi/lo
+   split).
 
-3. **XLA fusion**: with the gathers gone, the ``combineVoxel`` rule
-   (weighted sdf average, weight clamp, 50/50 color blend,
-   VoxelUtilHashSDF.h:228-250) is pure elementwise math on compact
-   row-gathered [G,512] arrays — full VPU layout — followed by a row
-   scatter back into the pool.  No second kernel needed.
+3. **bf16 limb output.** The kernel emits per-voxel (d_hi, d_lo, r, g, b,
+   s_hi, s_lo, 0) where ``s = d - pz`` is the raw projective SDF computed
+   in f32 in-kernel and re-split into limbs — halving HBM traffic vs an
+   f32 channel tensor while keeping sub-0.1 mm depth precision.
+
+The ``combineVoxel`` rule (weighted sdf average, weight clamp, 50/50
+color blend, VoxelUtilHashSDF.h:228-250) then runs as pure elementwise
+XLA on compact row-gathered [G,512] arrays, followed by a row scatter
+back into the pool.
+
+Known deviation (documented in STATUS.md): voxels whose block footprint
+exceeds the 32-row patch window (blocks closer than ~0.26 m) skip the
+update for that frame — ~1e-6 of voxels at the default operating point.
 
 The XLA path (:func:`voxelhashing_tpu.integrate.integrate`) remains the
 portable reference implementation (CPU tests, interpret-mode equivalence).
@@ -42,10 +55,14 @@ from ..config import CameraConfig, MapConfig, SDF_BLOCK_SIZE, VOXELS_PER_BLOCK
 from .. import geometry as geom
 from ..blockmap import MapState
 
-_PATCH_ROWS = 32     # image rows per block patch (footprint at z>=0.26m)
-_PATCH_COLS = 256    # interleaved cols: 6*footprint + 128 alignment slack
-_NCH = 6             # d_hi, d_lo, r, g, b, (pad)
+_PATCH_ROWS = 32     # image rows per block patch (footprint fits at z>=0.26m)
+_NCH = 8             # d_hi, d_lo, r, g, b, pad, pad, pad (lane-aligned group)
 _LANE = 128
+_PATCH_COLS = 512    # interleaved cols per window (64 px x 8 channels)
+_FOLD = _PATCH_COLS // _LANE          # lane chunks stacked on sublanes
+_ROWS_FOLD = _PATCH_ROWS * _FOLD      # one-hot row count after folding
+_BATCH_A = 8         # blocks per grid step
+_PB_SENTINEL = 1.0e9  # pb for padded blocks -> off-screen -> no update
 
 # dynamic_gather along lanes: out[i,j] = x[i, idx[i,j]]
 _DNUMS_LANE = lax.GatherDimensionNumbers(
@@ -59,94 +76,129 @@ def _lane_gather(x, idx):
 
 
 # ---------------------------------------------------------------------------
-# Kernel A: per-block patch gather
+# Fused projection + patch-gather kernel
 # ---------------------------------------------------------------------------
 
 
-_BATCH_A = 4     # blocks per grid step (amortises per-step overhead)
+def _make_kernel(cam: CameraConfig, wcols: int):
+    h, w = cam.height, cam.width
+    fx, fy, cx, cy = cam.fx, cam.fy, cam.cx, cam.cy
+
+    def kernel(img_ref, pb_ref, a_ref, out_ref):
+        # --- batched affine projection ([B,512], full-vreg layouts) ------
+        pbx = pb_ref[:, 0:1]
+        pby = pb_ref[:, 1:2]
+        pbz = pb_ref[:, 2:3]                              # [B,1] f32
+        ax = a_ref[0:1, :]
+        ay = a_ref[1:2, :]
+        az = a_ref[2:3, :]                                # [1,512] f32
+        px = pbx + ax
+        py = pby + ay
+        pz = pbz + az                                     # [B,512]
+        safe_z = jnp.where(pz == 0.0, 1e-12, pz)
+        ui = jnp.floor(px * fx / safe_z + cx + 0.5).astype(jnp.int32)
+        vi = jnp.floor(py * fy / safe_z + cy + 0.5).astype(jnp.int32)
+        on = (ui >= 0) & (ui < w) & (vi >= 0) & (vi < h) & (pz > 0.0)
+        big = jnp.int32(1 << 20)
+        vi_m = jnp.where(on, vi, big)
+        ui_m = jnp.where(on, ui, big)
+
+        riota = lax.broadcasted_iota(jnp.int32, (_ROWS_FOLD, 1), 0)
+        lane8 = lax.broadcasted_iota(
+            jnp.int32, (VOXELS_PER_BLOCK, _LANE), 1) % _NCH
+
+        for k in range(_BATCH_A):
+            # --- per-block aligned window origin (scalar math) -----------
+            vmin = jnp.min(vi_m[k:k + 1, :])
+            umin = jnp.min(ui_m[k:k + 1, :])
+            v0 = jnp.clip((vmin // 8) * 8, 0, h - _PATCH_ROWS)
+            u0 = jnp.clip((umin * _NCH // _LANE) * _LANE,
+                          0, wcols - _PATCH_COLS)
+            v0 = pl.multiple_of(v0, 8)
+            u0 = pl.multiple_of(u0, _LANE)
+            patch = img_ref[pl.ds(v0, _PATCH_ROWS),
+                            pl.ds(u0, _PATCH_COLS)]       # [32,512] bf16
+            # fold lane chunks onto sublanes: value(dv, du) lives at
+            # pstack[32*(du>>7) + dv, du & 127]
+            pstack = jnp.concatenate(
+                [patch[:, _LANE * j:_LANE * (j + 1)] for j in range(_FOLD)],
+                axis=0)                                   # [128,128]
+
+            dv = vi[k:k + 1, :] - v0                      # [1,512]
+            du = ui[k:k + 1, :] * _NCH - u0
+            ok = (on[k:k + 1, :] & (dv >= 0) & (dv < _PATCH_ROWS)
+                  & (du >= 0) & (du <= _PATCH_COLS - _NCH))
+            rowidx = jnp.where(ok, _PATCH_ROWS * (du >> 7) + dv,
+                               jnp.int32(2 * _ROWS_FOLD))
+            lane = jnp.where(ok, du & (_LANE - 1), 0)
+
+            # row+chunk pick on the MXU (invalid rows -> all-zero one-hot
+            # -> d = 0 -> "no update" downstream)
+            oh = (rowidx == riota).astype(jnp.bfloat16)   # [128,512]
+            sel = lax.dot_general(oh, pstack, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+            # column pick: lane j of the gather reads channel j mod 8
+            lane_col = jnp.transpose(lane, (1, 0))        # [512,1]
+            idx = lane_col + lane8                        # [512,128]
+            g = _lane_gather(sel, idx)                    # [512,128] f32
+            chan = jnp.transpose(g[:, :_NCH], (1, 0))     # [8,512] f32
+
+            d = chan[0:1, :] + chan[1:2, :]               # exact f32 depth
+            s = d - pz[k:k + 1, :]                        # raw projective sdf
+            s_hi = s.astype(jnp.bfloat16)
+            s_lo = (s - s_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            out_ref[k] = jnp.concatenate(
+                [chan[:5].astype(jnp.bfloat16), s_hi, s_lo,
+                 jnp.zeros((1, VOXELS_PER_BLOCK), jnp.bfloat16)], axis=0)
+
+    return kernel
 
 
-def _gather_kernel(v0_ref, u0_ref, img_ref, q_ref, out_ref):
-    i = pl.program_id(0)
-    lane = lax.broadcasted_iota(jnp.int32, (VOXELS_PER_BLOCK, _LANE), 1)
-    lane8 = lane % 8
-    riota = lax.broadcasted_iota(jnp.int32, (_PATCH_ROWS, 1), 0)
-    for k in range(_BATCH_A):
-        b = i * _BATCH_A + k
-        v0 = pl.multiple_of(v0_ref[b], 8)
-        u0 = pl.multiple_of(u0_ref[b], 128)
-        patch = img_ref[pl.ds(v0, _PATCH_ROWS), pl.ds(u0, _PATCH_COLS)]
+def _run_gather(img, pb, aff, g, cam, interpret):
+    """Run the fused kernel over ``g`` blocks (padded to the batch).
 
-        # q lives voxel-on-LANES ([1,512]; a [512,1] layout would be
-        # lane-padded 128x in HBM — gigabytes of phantom traffic)
-        q = q_ref[k, :, :]                               # [1,512] int32
-        invalid = q < 0
-        qc = jnp.where(invalid, 0, q)
-        # dv sentinel -> one-hot column all-zero -> channels read as 0
-        dv = jnp.where(invalid, _PATCH_ROWS + 1, qc >> 8)    # [1,512]
-        du = qc & (_PATCH_COLS - 1)                          # [1,512]
-
-        oh_t = (dv == riota).astype(jnp.bfloat16)        # [32,512]
-        # sel[v,u] = sum_r oh_t[r,v] * patch[r,u]  (contract dim 0 x dim 0)
-        sel = lax.dot_general(oh_t, patch, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)  # [512,256]
-
-        # column pick: lane j of the result reads channel j (j<6)
-        du_col = jnp.transpose(du, (1, 0))               # [512,1]
-        idx = du_col + lane8                             # [512,128]
-        lo = idx & (_LANE - 1)
-        hi = idx >> 7                                    # 0 or 1
-        g0 = _lane_gather(sel[:, :_LANE], lo)
-        g1 = _lane_gather(sel[:, _LANE:], lo)
-        res = jnp.where(hi == 0, g0, g1)                 # [512,128]
-        # channel-major [8,512] output tile (no lane padding in HBM)
-        out_ref[k] = jnp.transpose(res[:, :8], (1, 0))
-
-
-def _run_gather(img, q, v0, u0, g, interpret):
-    # Pad the block count up to a multiple of the per-step batch so the
-    # last g % _BATCH_A active blocks are never silently skipped (padding
-    # rows carry q = -1 -> all-invalid -> zero output, masked by is_real).
+    ``img``: [h, wcols] bf16 interleaved frame; ``pb``: [g,8] f32 per-block
+    camera-space base points (cols 0-2; sentinel rows for padding);
+    ``aff``: [3,512] f32 per-frame affine offsets. Returns [g,8,512] bf16
+    channels (d_hi, d_lo, r, g, b, s_hi, s_lo, 0).
+    """
     gp = -(-g // _BATCH_A) * _BATCH_A
     if gp != g:
-        q = jnp.pad(q, ((0, gp - g), (0, 0), (0, 0)), constant_values=-1)
-        v0 = jnp.pad(v0, (0, gp - g))
-        u0 = jnp.pad(u0, (0, gp - g))
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        pb = jnp.pad(pb, ((0, gp - g), (0, 0)),
+                     constant_values=_PB_SENTINEL)
+    kernel = _make_kernel(cam, img.shape[1])
+    out = pl.pallas_call(
+        kernel,
         grid=(gp // _BATCH_A,),
         in_specs=[
-            pl.BlockSpec(img.shape, lambda i, v0, u0: (0, 0),
-                         memory_space=pltpu.VMEM),          # resident image
-            pl.BlockSpec((_BATCH_A, 1, VOXELS_PER_BLOCK),
-                         lambda i, v0, u0: (i, 0, 0),
-                         memory_space=pltpu.VMEM),          # q per batch
+            pl.BlockSpec(img.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),        # resident image
+            pl.BlockSpec((_BATCH_A, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),        # pb per batch
+            pl.BlockSpec((3, VOXELS_PER_BLOCK), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),        # affine table
         ],
-        out_specs=pl.BlockSpec((_BATCH_A, 8, VOXELS_PER_BLOCK),
-                               lambda i, v0, u0: (i, 0, 0),
+        out_specs=pl.BlockSpec((_BATCH_A, _NCH, VOXELS_PER_BLOCK),
+                               lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-    )
-    out = pl.pallas_call(
-        _gather_kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((gp, 8, VOXELS_PER_BLOCK),
-                                       jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((gp, _NCH, VOXELS_PER_BLOCK),
+                                       jnp.bfloat16),
         interpret=interpret,
-    )(v0, u0, img, q)
+    )(img, pb, aff)
     return out[:g]
 
 
 # ---------------------------------------------------------------------------
-# XLA prep + orchestration
+# XLA prep + fusion orchestration
 # ---------------------------------------------------------------------------
 
 
 def _prep_image(depth, color, cam: CameraConfig):
-    """Channel-interleaved bf16 image [h, 6*w (lane-padded)].
+    """Channel-interleaved bf16 image [h, 8*w (>=512, lane-padded)].
 
-    Per pixel: (d_hi, d_lo, r, g, b, 0) — depth split into bf16 limbs;
-    pixels with invalid depth OR invalid color carry depth 0 (which the
-    fuse kernel treats as "no update", merging the two validity masks).
+    Per pixel: (d_hi, d_lo, r, g, b, 0, 0, 0) — depth split into bf16
+    limbs; pixels with invalid depth OR invalid color carry depth 0 (which
+    the fuse rule treats as "no update", merging the two validity masks).
     """
     h, w = cam.height, cam.width
     ok = jnp.isfinite(depth) & (depth > 0.0)
@@ -161,11 +213,12 @@ def _prep_image(depth, color, cam: CameraConfig):
     d = jnp.where(ok, depth, 0.0)
     d_hi = d.astype(jnp.bfloat16)
     d_lo = (d - d_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    z = jnp.zeros((h, w), jnp.bfloat16)
     chans = jnp.stack([d_hi, d_lo, cr.astype(jnp.bfloat16),
                        cg.astype(jnp.bfloat16), cb.astype(jnp.bfloat16),
-                       jnp.zeros((h, w), jnp.bfloat16)], axis=-1)
+                       z, z, z], axis=-1)
     img = chans.reshape(h, w * _NCH)                 # interleaved
-    total = -(-w * _NCH // _LANE) * _LANE
+    total = max(-(-w * _NCH // _LANE) * _LANE, _PATCH_COLS)
     return jnp.pad(img, ((0, 0), (0, total - w * _NCH)))
 
 
@@ -176,65 +229,55 @@ def integrate_pallas(state: MapState, depth, color, pose,
     """Drop-in replacement for :func:`voxelhashing_tpu.integrate.integrate`
     (Pallas TPU path). ``active_idx`` is the compacted in-frustum block
     list (padded), ``n_active`` its true length."""
-    h, w = cam.height, cam.width
     g = active_idx.shape[0]
     n = cfg.num_blocks
+    vs = cfg.voxel_size
     view = geom.invert_rigid(pose)
     img = _prep_image(depth, color, cam)
-    img_cols = img.shape[1]
 
-    # ---- XLA prep: per-voxel q index + per-block patch origins ----------
+    # ---- per-block base point + per-frame affine table ------------------
     blocks = geom.unpack_block_key(state.block_key[active_idx],
                                    cfg.world_blocks)        # [G,3]
-    base = geom.block_to_voxel(blocks)
-    offs = np.arange(VOXELS_PER_BLOCK, dtype=np.int32)
-    ox = jnp.asarray(offs % SDF_BLOCK_SIZE)
-    oy = jnp.asarray((offs // SDF_BLOCK_SIZE) % SDF_BLOCK_SIZE)
-    oz = jnp.asarray(offs // (SDF_BLOCK_SIZE * SDF_BLOCK_SIZE))
-    vs = cfg.voxel_size
-    wx = (base[:, 0:1] + ox[None, :]).astype(jnp.float32) * vs   # [G,512]
-    wy = (base[:, 1:2] + oy[None, :]).astype(jnp.float32) * vs
-    wz = (base[:, 2:3] + oz[None, :]).astype(jnp.float32) * vs
+    base = geom.block_to_voxel(blocks).astype(jnp.float32) * vs
     r, t = view[:3, :3], view[:3, 3]
-    px = r[0, 0] * wx + r[0, 1] * wy + r[0, 2] * wz + t[0]
-    py = r[1, 0] * wx + r[1, 1] * wy + r[1, 2] * wz + t[1]
-    pz = r[2, 0] * wx + r[2, 1] * wy + r[2, 2] * wz + t[2]
-    safe_z = jnp.where(pz == 0.0, 1e-12, pz)
-    ui = jnp.floor(px * cam.fx / safe_z + cam.cx + 0.5).astype(jnp.int32)
-    vi = jnp.floor(py * cam.fy / safe_z + cam.cy + 0.5).astype(jnp.int32)
-    on = ((ui >= 0) & (ui < w) & (vi >= 0) & (vi < h) & (pz > 0.0))
+    pbx = r[0, 0] * base[:, 0] + r[0, 1] * base[:, 1] \
+        + r[0, 2] * base[:, 2] + t[0]                       # [G]
+    pby = r[1, 0] * base[:, 0] + r[1, 1] * base[:, 1] \
+        + r[1, 2] * base[:, 2] + t[1]
+    pbz = r[2, 0] * base[:, 0] + r[2, 1] * base[:, 1] \
+        + r[2, 2] * base[:, 2] + t[2]
+    is_real = jnp.arange(g) < n_active
+    pb = jnp.stack([jnp.where(is_real, pbx, _PB_SENTINEL),
+                    jnp.where(is_real, pby, _PB_SENTINEL),
+                    jnp.where(is_real, pbz, _PB_SENTINEL)], axis=1)
+    pb = jnp.pad(pb, ((0, 0), (0, 8 - 3)))                  # [G,8]
 
-    # per-block aligned patch origins from per-voxel extrema
-    vmin = jnp.min(jnp.where(on, vi, h), axis=1)               # [G]
-    umin = jnp.min(jnp.where(on, ui, w), axis=1)
-    v0 = jnp.clip((vmin // 8) * 8, 0, h - _PATCH_ROWS)
-    u0 = jnp.clip((umin * _NCH // _LANE) * _LANE, 0,
-                  img_cols - _PATCH_COLS)
+    offs = np.arange(VOXELS_PER_BLOCK, dtype=np.int32)
+    ox = jnp.asarray(offs % SDF_BLOCK_SIZE, jnp.float32) * vs
+    oy = jnp.asarray((offs // SDF_BLOCK_SIZE) % SDF_BLOCK_SIZE,
+                     jnp.float32) * vs
+    oz = jnp.asarray(offs // (SDF_BLOCK_SIZE * SDF_BLOCK_SIZE),
+                     jnp.float32) * vs
+    aff = jnp.stack([r[0, 0] * ox + r[0, 1] * oy + r[0, 2] * oz,
+                     r[1, 0] * ox + r[1, 1] * oy + r[1, 2] * oz,
+                     r[2, 0] * ox + r[2, 1] * oy + r[2, 2] * oz], axis=0)
 
-    dv = vi - v0[:, None]
-    du = ui * _NCH - u0[:, None]
-    q_ok = on & (dv >= 0) & (dv < _PATCH_ROWS) \
-        & (du >= 0) & (du < _PATCH_COLS - (_NCH - 1))
-    q = jnp.where(q_ok, dv * _PATCH_COLS + du, -1).astype(jnp.int32)
-    q = q.reshape(g, 1, VOXELS_PER_BLOCK)
+    # ---- fused projection + gather kernel -------------------------------
+    chans = _run_gather(img, pb, aff, g, cam, interpret)    # [G,8,512] bf16
 
-    # ---- Kernel A: gather channels ------------------------------------
-    chans = _run_gather(img, q, v0.astype(jnp.int32), u0.astype(jnp.int32),
-                        g, interpret)                       # [G,8,512] f32
-
-    # channel extraction slices a MAJOR dim (no lane padding)
-    d = chans[:, 0, :] + chans[:, 1, :]                     # [G,512]
-    cr = chans[:, 2, :]
-    cg = chans[:, 3, :]
-    cb = chans[:, 4, :]
+    d = chans[:, 0, :].astype(jnp.float32) \
+        + chans[:, 1, :].astype(jnp.float32)                # [G,512]
+    cr = chans[:, 2, :].astype(jnp.float32)
+    cg = chans[:, 3, :].astype(jnp.float32)
+    cb = chans[:, 4, :].astype(jnp.float32)
+    sdf_new = chans[:, 5, :].astype(jnp.float32) \
+        + chans[:, 6, :].astype(jnp.float32)                # d - pz
 
     # ---- XLA fusion on compact rows (elementwise, full VPU layout) -----
     # combineVoxel (VoxelUtilHashSDF.h:228-250)
-    is_real = (jnp.arange(g) < n_active)[:, None]
     d_valid = d > 0.0
-    sdf_new = d - pz
     trunc = cfg.truncation + cfg.truncation_scale * d
-    update = (is_real & d_valid
+    update = (is_real[:, None] & d_valid
               & (d < cfg.max_integration_distance)
               & (sdf_new > -trunc))
     sdf_new = jnp.clip(sdf_new, -trunc, trunc)
@@ -263,8 +306,8 @@ def integrate_pallas(state: MapState, depth, color, pose,
     out_w = jnp.where(update, f_w, old_w)
     out_c = jnp.where(update, f_c, old_c)
 
-    safe_idx = jnp.where(jnp.arange(g) < n_active,
-                         active_idx.astype(jnp.int32), jnp.int32(n))
+    safe_idx = jnp.where(is_real, active_idx.astype(jnp.int32),
+                         jnp.int32(n))
     return state._replace(
         sdf=state.sdf.at[safe_idx].set(out_sdf, mode="drop"),
         weight=state.weight.at[safe_idx].set(out_w, mode="drop"),
