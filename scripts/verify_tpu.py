@@ -1,0 +1,139 @@
+"""Real-chip numerical regression: Pallas kernels vs the portable XLA path.
+
+The CPU test suite runs the Pallas kernels only in interpret mode; this
+script is the real-TPU gate (referenced by the verify skill and runnable
+standalone) so kernel-layout optimisations cannot silently corrupt fusion
+or surface prediction.  Checks, on one representative bench-scale frame:
+
+1. **integrate**: Pallas fused kernel vs XLA ``integrate.integrate`` —
+   weight-mismatch count (documented close-range patch-window deviation,
+   expected ~tens out of 33M), sdf agreement to bf16-limb depth precision,
+   color within 1/255.
+2. **splat z-buffer**: Pallas splat vs XLA scatter-min splat — identical
+   pixel coverage (modulo boundary flips) and sub-voxel depth agreement.
+3. **splat vs march**: cross-renderer depth agreement stats on covered
+   pixels (documents the O(view-delta) surface bias; fails if the median
+   bias exceeds one voxel).
+
+Prints PASS/FAIL per check and exits nonzero on failure.
+
+Run: /opt/venv/bin/python scripts/verify_tpu.py
+"""
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        print(f"backend is {jax.default_backend()}; this script needs the "
+              "real TPU chip")
+        return 2
+
+    from voxelhashing_tpu import blockmap, engine, geometry as geom, \
+        integrate as integ, raycast
+    from voxelhashing_tpu.config import CameraConfig, EngineConfig, MapConfig
+    from voxelhashing_tpu.io.synthetic import (Scene, make_trajectory,
+                                               render_depth)
+    from voxelhashing_tpu.ops.pallas_integrate import integrate_pallas
+
+    cam = CameraConfig()
+    cfg = EngineConfig(
+        camera=cam,
+        map=MapConfig(voxel_size=0.004, truncation=0.02,
+                      truncation_scale=0.01,
+                      num_blocks=1 << 16, table_size=1 << 18,
+                      max_active_blocks=1 << 15))
+    mp = cfg.map
+    scene = Scene()
+    poses = make_trajectory(2)
+    d0, c0 = render_depth(np.asarray(poses[0]), cam, scene)
+    depth = jnp.asarray(np.nan_to_num(d0, nan=0.0))
+    color = jnp.asarray(c0)
+
+    # two warm frames so the map is non-trivial
+    stepf = engine.make_step(cfg, donate=False)
+    est = engine.create(cfg)
+    est, _ = stepf(est, depth, color)
+    est, _ = stepf(est, depth, color)
+    state, pose = est.map, est.pose
+    view = geom.invert_rigid(pose)
+    active_idx, n_active, _ = blockmap.compactify(state, view, cam, mp)
+    active_mask = jnp.arange(active_idx.shape[0]) < n_active
+    print(f"frame: n_active={int(n_active)}")
+
+    failures = 0
+
+    # ---- 1. integrate: Pallas vs XLA ----------------------------------
+    ref = jax.jit(lambda s: integ.integrate(
+        s, depth, color, pose, cam, mp, active_idx=active_idx,
+        active_mask=active_mask))(state)
+    out = jax.jit(lambda s: integrate_pallas(
+        s, depth, color, pose, cam, mp, active_idx, n_active))(state)
+    w_ref = np.asarray(ref.weight)
+    w_out = np.asarray(out.weight)
+    w_mismatch = np.abs(w_out - w_ref) > 1e-3
+    nmis = int(w_mismatch.sum())
+    agree = (w_ref > 0) & ~w_mismatch
+    s_err = np.abs(np.asarray(out.sdf)[agree] - np.asarray(ref.sdf)[agree])
+    sdf_max = float(s_err.max()) if s_err.size else 0.0
+    c_ref = np.asarray(ref.color)[agree]
+    c_out = np.asarray(out.color)[agree]
+    c_err = 0
+    for shift in (16, 8, 0):
+        a = ((c_ref >> shift) & 0xFF).astype(np.int32)
+        b = ((c_out >> shift) & 0xFF).astype(np.int32)
+        c_err = max(c_err, int(np.abs(a - b).max()) if a.size else 0)
+    ok1 = (nmis < w_ref.size * 1e-4) and sdf_max < 5e-4 and c_err <= 1
+    print(f"[{'PASS' if ok1 else 'FAIL'}] integrate pallas-vs-xla: "
+          f"weight mismatches {nmis}/{w_ref.size}, sdf max err "
+          f"{sdf_max:.2e} m, color max err {c_err}/255")
+    failures += not ok1
+
+    # ---- 2. splat z-buffer: Pallas (with_color=False path) vs XLA
+    # scatter-min (the with_color=True path; raycast.py:287) -------------
+    rc = cfg.raycast
+    m_pl = jax.jit(lambda: raycast.render_splat(
+        state, pose, cam, mp, rc, active_idx=active_idx,
+        active_mask=active_mask, with_color=False))()
+    m_xla = jax.jit(lambda: raycast.render_splat(
+        state, pose, cam, mp, rc, active_idx=active_idx,
+        active_mask=active_mask, with_color=True))()
+    z_pl = np.asarray(m_pl.depth)
+    z_xla = np.asarray(m_xla.depth)
+    both = np.isfinite(z_pl) & np.isfinite(z_xla)
+    only = np.isfinite(z_pl) ^ np.isfinite(z_xla)
+    dz = np.abs(z_pl[both] - z_xla[both])
+    med2 = float(np.median(dz)) if dz.size else 0.0
+    ok2 = only.mean() < 1e-3 and med2 < mp.voxel_size * 0.5
+    print(f"[{'PASS' if ok2 else 'FAIL'}] splat pallas-vs-xla: "
+          f"coverage diff {only.mean():.2e}, median |dz| {med2:.2e} m")
+    failures += not ok2
+
+    # ---- 3. splat vs march depth agreement -----------------------------
+    m_march = jax.jit(lambda: raycast.render_march(
+        state, pose, cam, mp, rc, active_idx=active_idx,
+        active_mask=active_mask))()
+    z_march = np.asarray(m_march.depth)
+    both = np.isfinite(z_pl) & np.isfinite(z_march)
+    dz = np.abs(z_pl[both] - z_march[both])
+    med = float(np.median(dz)) if dz.size else 0.0
+    p95 = float(np.percentile(dz, 95)) if dz.size else 0.0
+    ok3 = both.sum() > 1000 and med < mp.voxel_size
+    print(f"[{'PASS' if ok3 else 'FAIL'}] splat-vs-march: "
+          f"{int(both.sum())} common px, median |dz| {med * 1000:.2f} mm, "
+          f"p95 {p95 * 1000:.2f} mm (voxel {mp.voxel_size * 1000:.0f} mm)")
+    failures += not ok3
+
+    print("VERIFY_TPU:", "PASS" if failures == 0 else f"FAIL ({failures})")
+    return 0 if failures == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
