@@ -84,7 +84,17 @@ def _make_kernel(cam: CameraConfig, wcols: int):
     h, w = cam.height, cam.width
     fx, fy, cx, cy = cam.fx, cam.fy, cam.cx, cam.cy
 
-    def kernel(img_ref, pb_ref, a_ref, out_ref):
+    def kernel(nact_ref, img_ref, pb_ref, a_ref, out_ref):
+        # Compacted active lists are packed: every block of this batch is
+        # past n_active -> skip the whole body (out rows are garbage but
+        # the fusion scatter drops rows >= n_active via safe_idx).
+        i = pl.program_id(0)
+
+        @pl.when(i * _BATCH_A < nact_ref[0])
+        def _body():
+            _kernel_body(img_ref, pb_ref, a_ref, out_ref)
+
+    def _kernel_body(img_ref, pb_ref, a_ref, out_ref):
         # --- batched affine projection ([B,512], full-vreg layouts) ------
         pbx = pb_ref[:, 0:1]
         pby = pb_ref[:, 1:2]
@@ -154,7 +164,7 @@ def _make_kernel(cam: CameraConfig, wcols: int):
     return kernel
 
 
-def _run_gather(img, pb, aff, g, cam, interpret):
+def _run_gather(img, pb, aff, g, cam, interpret, n_active=None):
     """Run the fused kernel over ``g`` blocks (padded to the batch).
 
     ``img``: [h, wcols] bf16 interleaved frame; ``pb``: [g,8] f32 per-block
@@ -167,24 +177,31 @@ def _run_gather(img, pb, aff, g, cam, interpret):
         pb = jnp.pad(pb, ((0, gp - g), (0, 0)),
                      constant_values=_PB_SENTINEL)
     kernel = _make_kernel(cam, img.shape[1])
-    out = pl.pallas_call(
-        kernel,
+    if n_active is None:
+        n_active = jnp.int32(g)
+    nact = jnp.asarray(n_active, jnp.int32).reshape(1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(gp // _BATCH_A,),
         in_specs=[
-            pl.BlockSpec(img.shape, lambda i: (0, 0),
+            pl.BlockSpec(img.shape, lambda i, n: (0, 0),
                          memory_space=pltpu.VMEM),        # resident image
-            pl.BlockSpec((_BATCH_A, 8), lambda i: (i, 0),
+            pl.BlockSpec((_BATCH_A, 8), lambda i, n: (i, 0),
                          memory_space=pltpu.VMEM),        # pb per batch
-            pl.BlockSpec((3, VOXELS_PER_BLOCK), lambda i: (0, 0),
+            pl.BlockSpec((3, VOXELS_PER_BLOCK), lambda i, n: (0, 0),
                          memory_space=pltpu.VMEM),        # affine table
         ],
         out_specs=pl.BlockSpec((_BATCH_A, _NCH, VOXELS_PER_BLOCK),
-                               lambda i: (i, 0, 0),
+                               lambda i, n: (i, 0, 0),
                                memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((gp, _NCH, VOXELS_PER_BLOCK),
                                        jnp.bfloat16),
         interpret=interpret,
-    )(img, pb, aff)
+    )(nact, img, pb, aff)
     return out[:g]
 
 
@@ -263,7 +280,8 @@ def integrate_pallas(state: MapState, depth, color, pose,
                      r[2, 0] * ox + r[2, 1] * oy + r[2, 2] * oz], axis=0)
 
     # ---- fused projection + gather kernel -------------------------------
-    chans = _run_gather(img, pb, aff, g, cam, interpret)    # [G,8,512] bf16
+    chans = _run_gather(img, pb, aff, g, cam, interpret,
+                        n_active=n_active)                  # [G,8,512] bf16
 
     d = chans[:, 0, :].astype(jnp.float32) \
         + chans[:, 1, :].astype(jnp.float32)                # [G,512]
