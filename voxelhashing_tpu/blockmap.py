@@ -168,6 +168,19 @@ def allocate(state: MapState, candidate_keys, cfg: MapConfig,
     # (~active set); the compact list is sized to max_active_blocks
     cap = min(cfg.max_active_blocks, n_pool)
 
+    # Pre-compaction: one cumsum+scatter shrinks the (mostly-INVALID after
+    # the DDA's neighbor dedup) candidate stream so the per-round staging
+    # scatters run on ~4x fewer elements. Overflow beyond the 4*cap bound
+    # is dropped-and-retried (next frame online / reported by the engine's
+    # offline alloc_missed check) — same semantics as a staging collision.
+    precap = min(4 * cap, keys0.shape[0])
+    if precap < keys0.shape[0]:
+        valid0 = keys0 != INVALID_KEY
+        prank = jnp.cumsum(valid0.astype(jnp.int32)) - 1
+        keep0 = valid0 & (prank < precap)
+        keys0 = jnp.full((precap,), INVALID_KEY, jnp.int32).at[
+            jnp.where(keep0, prank, precap)].set(keys0, mode="drop")
+
     total = jnp.int32(0)
     for ri in range(rounds):
         # -- 1. staging dedup (hash varies per round so a key that lost a

@@ -141,7 +141,22 @@ def alloc_candidates(depth, pose, cam: CameraConfig, cfg: MapConfig,
     _, keys = jax.lax.scan(
         dda_step, (cxb, cyb, czb, tmx, tmy, tmz, valid), None,
         length=cfg.alloc_steps)
-    return keys.reshape(-1)   # [alloc_steps * P]
+
+    # Neighbor-shift pre-dedup (pure elementwise): a block's screen
+    # footprint spans several pixels, so the same key appears in the west/
+    # north neighbor's DDA column at the same step ~4x over. Invalidating
+    # those instances here cuts the candidate stream ~4.5x before the
+    # allocator's staging scatters — the key SET is unchanged (the first
+    # instance in scan order survives), so allocation semantics are
+    # identical.
+    k3 = keys.reshape(cfg.alloc_steps, h, w)
+    west = jnp.pad(k3[:, :, :-1], ((0, 0), (0, 0), (1, 0)),
+                   constant_values=INVALID_KEY)
+    north = jnp.pad(k3[:, :-1, :], ((0, 0), (1, 0), (0, 0)),
+                    constant_values=INVALID_KEY)
+    dup = ((k3 == west) | (k3 == north)) & (k3 != INVALID_KEY)
+    k3 = jnp.where(dup, INVALID_KEY, k3)
+    return k3.reshape(-1)   # [alloc_steps * P]
 
 
 def allocate_from_depth(state: MapState, depth, pose, cam: CameraConfig,
