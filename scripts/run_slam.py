@@ -128,6 +128,9 @@ def main():
                     help="use GT poses outright (no tracking)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--streaming", action="store_true")
+    ap.add_argument("--sync-streaming", action="store_true",
+                    help="use the synchronous (blocking) streaming manager "
+                         "instead of the overlapped streaming thread")
     ap.add_argument("--mesh", default=None, help="extract mesh PLY at end")
     ap.add_argument("--cloud", default=None, help="export final point cloud")
     ap.add_argument("--save-map", default=None)
@@ -175,7 +178,9 @@ def main():
     conv = diagnostics.ConvergenceAnalysis() if args.convergence else None
     mgr = None
     if args.streaming:
-        mgr = streaming_mod.StreamingManager(cfg.map, cfg.streaming)
+        mgr_cls = (streaming_mod.StreamingManager if args.sync_streaming
+                   else streaming_mod.AsyncStreamingManager)
+        mgr = mgr_cls(cfg.map, cfg.streaming)
 
     state = None
     est, gts = [], []
@@ -247,6 +252,8 @@ def main():
             print(icp_log.report_last())
     dt = time.time() - t0
     n_frames = len(est)
+    if mgr is not None and hasattr(mgr, "flush"):
+        mgr.flush()
 
     if pg is not None and len(pg.keyframes) >= 2:
         pg.snapshot_originals()

@@ -67,7 +67,7 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_float, ctypes.c_float, ctypes.c_float,
             ctypes.c_float, ctypes.c_float, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-            ctypes.c_void_p]
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
         lib.chunkstore_chunk_ids.restype = ctypes.c_int32
         lib.chunkstore_chunk_ids.argtypes = [
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
@@ -131,16 +131,29 @@ class NativeChunkStore:
                       max_chunks: int, cap: int
                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
                                  np.ndarray]:
+        keys, sdf, weight, color, _ = self.pop_in_sphere_tracked(
+            cam_pos, radius, chunk_size_world, max_chunks, cap)
+        return keys, sdf, weight, color
+
+    def pop_in_sphere_tracked(self, cam_pos, radius: float,
+                              chunk_size_world: float, max_chunks: int,
+                              cap: int):
+        """Like pop_in_sphere, but also returns the chunk coords [m,3] of
+        chunks removed entirely (bitmask delta-clear set)."""
         keys = np.zeros((cap,), np.int32)
         sdf = np.zeros((cap, self.VOXELS), np.float32)
         weight = np.zeros((cap, self.VOXELS), np.float32)
         color = np.zeros((cap, self.VOXELS), np.uint32)
+        cleared = np.zeros((max(max_chunks, 1) * 3,), np.int32)
+        n_cleared = np.zeros((1,), np.int32)
         n = self._lib.chunkstore_pop_in_sphere(
             self._h, float(cam_pos[0]), float(cam_pos[1]),
             float(cam_pos[2]), float(radius), float(chunk_size_world),
             max_chunks, cap, _ptr(keys), _ptr(sdf), _ptr(weight),
-            _ptr(color))
-        return keys[:n], sdf[:n], weight[:n], color[:n]
+            _ptr(color), _ptr(cleared), _ptr(n_cleared))
+        m = int(n_cleared[0])
+        return (keys[:n], sdf[:n], weight[:n], color[:n],
+                cleared[:3 * m].reshape(m, 3))
 
     def chunk_ids(self, grid_dim: int, cap: int = 1 << 20) -> np.ndarray:
         out = np.zeros((cap,), np.int32)
