@@ -52,7 +52,7 @@ _BATCH = 4      # blocks per grid step
 _DV_INVALID = 63
 
 
-def _splat_kernel(v0_ref, u0_ref, dv_ref, du_ref, zhi_ref, zlo_ref,
+def _splat_kernel(ns_ref, v0_ref, u0_ref, dv_ref, du_ref, zhi_ref, zlo_ref,
                   out_ref):
     i = pl.program_id(0)
 
@@ -60,6 +60,18 @@ def _splat_kernel(v0_ref, u0_ref, dv_ref, du_ref, zhi_ref, zlo_ref,
     def _():
         out_ref[:] = jnp.full_like(out_ref, jnp.inf)
 
+    # The culled surface list is packed (real rows first): once the batch
+    # start passes n_rows, every later grid step is padding — skip the
+    # matmul body entirely (same scalar-prefetch trick as the integrate
+    # kernel). The z-buffer init above still runs at i == 0.
+    @pl.when(i * _BATCH < ns_ref[0])
+    def _batch_body():
+        _splat_batch(i, v0_ref, u0_ref, dv_ref, du_ref, zhi_ref, zlo_ref,
+                     out_ref)
+
+
+def _splat_batch(i, v0_ref, u0_ref, dv_ref, du_ref, zhi_ref, zlo_ref,
+                 out_ref):
     riota = lax.broadcasted_iota(jnp.int32, (_ROWS, 1), 0)
     ciota = lax.broadcasted_iota(jnp.int32, (1, _COLS), 1)
     for k in range(_BATCH):
@@ -90,7 +102,7 @@ def _splat_kernel(v0_ref, u0_ref, dv_ref, du_ref, zhi_ref, zlo_ref,
         out_ref[pl.ds(v0, _ROWS), pl.ds(u0, _COLS)] = jnp.minimum(cur, patch)
 
 
-def _run_splat(v0, u0, dv, du, zhi, zlo, hpad, wpad, interpret):
+def _run_splat(n_rows, v0, u0, dv, du, zhi, zlo, hpad, wpad, interpret):
     s = dv.shape[0]
     sp = -(-s // _BATCH) * _BATCH
     if sp != s:
@@ -101,24 +113,25 @@ def _run_splat(v0, u0, dv, du, zhi, zlo, hpad, wpad, interpret):
         zlo = jnp.pad(zlo, ((0, sp - s), (0, 0), (0, 0)))
         v0 = jnp.pad(v0, (0, sp - s))
         u0 = jnp.pad(u0, (0, sp - s))
+    ns = jnp.asarray(n_rows, jnp.int32).reshape(1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(sp // _BATCH,),
         in_specs=[
             pl.BlockSpec((_BATCH, 1, VOXELS_PER_BLOCK),
-                         lambda i, v0, u0: (i, 0, 0),
+                         lambda i, ns, v0, u0: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_BATCH, 1, VOXELS_PER_BLOCK),
-                         lambda i, v0, u0: (i, 0, 0),
+                         lambda i, ns, v0, u0: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_BATCH, 1, VOXELS_PER_BLOCK),
-                         lambda i, v0, u0: (i, 0, 0),
+                         lambda i, ns, v0, u0: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_BATCH, 1, VOXELS_PER_BLOCK),
-                         lambda i, v0, u0: (i, 0, 0),
+                         lambda i, ns, v0, u0: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((hpad, wpad), lambda i, v0, u0: (0, 0),
+        out_specs=pl.BlockSpec((hpad, wpad), lambda i, ns, v0, u0: (0, 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
@@ -126,16 +139,20 @@ def _run_splat(v0, u0, dv, du, zhi, zlo, hpad, wpad, interpret):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((hpad, wpad), jnp.float32),
         interpret=interpret,
-    )(v0, u0, dv, du, zhi, zlo)
+    )(ns, v0, u0, dv, du, zhi, zlo)
 
 
 def splat_zbuf_pallas(state: MapState, sdf, wgt, sel_active, row_mask, view,
                       cam: CameraConfig, cfg: MapConfig,
-                      interpret: bool = False):
+                      interpret: bool = False, n_rows=None):
     """Pallas drop-in for :func:`voxelhashing_tpu.raycast._splat_zbuf`
     (tracking path, no color). Returns (zbuf f32[h*w] with +inf empty,
     n_clipped i32[] — in-band voxels dropped because their block's pixel
     footprint exceeded the 32x256 patch; ~0 beyond ~0.3 m depth).
+
+    ``n_rows``: when the caller's row list is PACKED (all real rows before
+    any padding, as the surface cull produces), the true row count — grid
+    steps past it skip the matmul body. None = process every row.
     """
     h, w = cam.height, cam.width
     hpad = max(-(-h // 8) * 8, _ROWS)
@@ -184,7 +201,9 @@ def splat_zbuf_pallas(state: MapState, sdf, wgt, sel_active, row_mask, view,
     zlo = (z - zhi.astype(jnp.float32)).astype(jnp.bfloat16)
 
     s = sel_active.shape[0]
-    zbuf = _run_splat(v0.astype(jnp.int32), u0.astype(jnp.int32),
+    if n_rows is None:
+        n_rows = jnp.int32(s)
+    zbuf = _run_splat(n_rows, v0.astype(jnp.int32), u0.astype(jnp.int32),
                       dv.reshape(s, 1, VOXELS_PER_BLOCK),
                       du.reshape(s, 1, VOXELS_PER_BLOCK),
                       zhi.reshape(s, 1, VOXELS_PER_BLOCK),

@@ -286,21 +286,25 @@ def render_splat(state: MapState, pose, cam: CameraConfig, cfg: MapConfig,
     # portable reference and the color/visualization renderer.
     use_pallas = jax.default_backend() == "tpu" and not with_color
 
-    def _zfun(sdf_r, wgt_r, sel_a, mask_r):
+    def _zfun(sdf_r, wgt_r, sel_a, mask_r, n_rows):
         if use_pallas:
             from .ops.pallas_splat import splat_zbuf_pallas
             zb, nclip = splat_zbuf_pallas(state, sdf_r, wgt_r, sel_a,
-                                          mask_r, view, cam, cfg)
+                                          mask_r, view, cam, cfg,
+                                          n_rows=n_rows)
             return zb, jnp.zeros((h * w,), jnp.uint32), nclip
         zb, cb = _splat_zbuf(state, sdf_r, wgt_r, sel_a, mask_r, view, cam,
                              cfg, with_color)
         return zb, cb, jnp.int32(0)
 
     def splat_culled(_):
-        return _zfun(sdf_all[sel], wgt_all[sel], active_idx[sel], sel_mask)
+        # packed rows: the kernel skips grid steps past n_surf
+        return _zfun(sdf_all[sel], wgt_all[sel], active_idx[sel], sel_mask,
+                     n_surf)
 
     def splat_full(_):
-        return _zfun(sdf_all, wgt_all, active_idx, has_surf)
+        # overflow fallback: rows NOT packed (has_surf scattered) -> no skip
+        return _zfun(sdf_all, wgt_all, active_idx, has_surf, None)
 
     zbuf, colbuf, n_clipped = jax.lax.cond(overflow > 0, splat_full,
                                            splat_culled, operand=None)
