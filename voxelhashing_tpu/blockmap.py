@@ -223,6 +223,22 @@ def _allocate_unique(state: MapState, keys, cfg: MapConfig
     _, resident = lookup(state, keys, cfg)
     keys = jnp.where(resident, INVALID_KEY, keys)
 
+    # Compact the genuinely-new keys to a short insert list: the probe
+    # loop below pays max_probes scatter/gather passes over the WHOLE
+    # list, and in steady state (camera revisiting mapped space) nearly
+    # every candidate is already resident. Overflow past the cap drops
+    # this round's extras — retried next frame online / next fixpoint
+    # round offline, the same semantics as a staging collision.
+    icap = min(cfg.alloc_insert_cap, k)
+    if icap < k:
+        is_new = keys != INVALID_KEY
+        nrank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+        nkeep = is_new & (nrank < icap)
+        keys = jnp.full((icap,), INVALID_KEY, jnp.int32).at[
+            jnp.where(nkeep, nrank, icap)].set(keys, mode="drop")
+        k = icap
+        inst = jnp.arange(k, dtype=jnp.int32)
+
     free = state.block_key == INVALID_KEY                      # [N]
     n_free = jnp.sum(free.astype(jnp.int32))
     free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1

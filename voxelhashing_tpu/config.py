@@ -88,6 +88,13 @@ class MapConfig:
     # Active-set cap: max blocks in camera frustum handled per frame
     # (the reference reads this count back per frame; we keep it static).
     max_active_blocks: int = 1 << 15
+    # Insert-list cap: new (non-resident) keys are compacted to this many
+    # entries before the probe-insert loop, whose scatter cost scales with
+    # list length. Steady-state frames allocate a few dozen blocks; a big
+    # first view may exceed the cap and finishes allocating over the next
+    # frame(s) (online) or the fixpoint rounds (offline) — the same
+    # drop-and-retry semantics as a staging collision.
+    alloc_insert_cap: int = 1 << 13
     # Per-pixel cap on DDA steps through block space during allocation
     # (the truncation band usually spans <= 4 blocks; reference caps the whole
     # ray walk at 1024 iters, CUDASceneRepHashSDF.cu:221).
