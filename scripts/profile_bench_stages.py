@@ -19,7 +19,7 @@ import numpy as np
 sys.path.insert(0, ".")
 
 STAGES = ["preprocess", "compactify", "splat", "track",
-          "alloc", "allocate", "integrate", "fuse_xla", "gc", "stats"]
+          "alloc", "allocate", "integrate", "gc", "stats"]
 
 
 def bench_setup():
@@ -156,22 +156,6 @@ def run_stage(stage):
         timed("integrate_pallas", f,
               (jnp.float32(0), state.map, depth, color, state.pose,
                active_idx, n_active))
-    elif stage == "fuse_xla":
-        from voxelhashing_tpu.ops import pallas_integrate as pi
-        g = active_idx.shape[0]
-        real_run = pi._run_gather
-        def f(x):
-            acc, m, d, c, pose, ai, na, ch = x
-            pi._run_gather = lambda *a, **k: ch
-            try:
-                st = pi.integrate_pallas(m, d, c, pose, cam, mp, ai, na)
-            finally:
-                pi._run_gather = real_run
-            return (acc, st, d, c, pose, ai, na, ch)
-        timed("fuse_xla", f,
-              (jnp.float32(0), state.map, depth, color, state.pose,
-               active_idx, n_active,
-               jnp.zeros((g, 8, 512), jnp.bfloat16)))
     elif stage == "gc":
         def f(x):
             acc, m, ai, na = x

@@ -24,15 +24,12 @@ kernel removes the scalar gathers entirely; the whole sampling pass
    8-channel interleave keeps groups lane-aligned (no straddle, no hi/lo
    split).
 
-3. **bf16 limb output.** The kernel emits per-voxel (d_hi, d_lo, r, g, b,
-   s_hi, s_lo, 0) where ``s = d - pz`` is the raw projective SDF computed
-   in f32 in-kernel and re-split into limbs — halving HBM traffic vs an
-   f32 channel tensor while keeping sub-0.1 mm depth precision.
-
-The ``combineVoxel`` rule (weighted sdf average, weight clamp, 50/50
-color blend, VoxelUtilHashSDF.h:228-250) then runs as pure elementwise
-XLA on compact row-gathered [G,512] arrays, followed by a row scatter
-back into the pool.
+3. **combineVoxel in-kernel.** The fusion rule (weighted sdf average,
+   weight clamp, 50/50 color blend, VoxelUtilHashSDF.h:228-250) runs
+   inside the kernel on the freshly sampled values against row-gathered
+   old pool rows — the sampled-channel tensor never round-trips HBM and
+   the whole integrate is one kernel + a row gather/scatter pair. Color
+   rides as bitcast i32 (no u32<->f32 casts on this chip).
 
 Known deviation (documented in STATUS.md): voxels whose block footprint
 exceeds the 32-row patch window (blocks closer than ~0.26 m) skip the
@@ -61,7 +58,7 @@ _LANE = 128
 _PATCH_COLS = 512    # interleaved cols per window (64 px x 8 channels)
 _FOLD = _PATCH_COLS // _LANE          # lane chunks stacked on sublanes
 _ROWS_FOLD = _PATCH_ROWS * _FOLD      # one-hot row count after folding
-_BATCH_A = 8         # blocks per grid step
+_BATCH_A = 16        # blocks per grid step
 _PB_SENTINEL = 1.0e9  # pb for padded blocks -> off-screen -> no update
 
 # dynamic_gather along lanes: out[i,j] = x[i, idx[i,j]]
@@ -80,11 +77,17 @@ def _lane_gather(x, idx):
 # ---------------------------------------------------------------------------
 
 
-def _make_kernel(cam: CameraConfig, wcols: int):
+def _make_kernel(cam: CameraConfig, cfg: MapConfig, wcols: int):
     h, w = cam.height, cam.width
     fx, fy, cx, cy = cam.fx, cam.fy, cam.cx, cam.cy
+    dmin, dmax = cam.depth_min, cam.depth_max
+    maxdist = cfg.max_integration_distance
+    trunc0, ts = cfg.truncation, cfg.truncation_scale
+    iws = cfg.integration_weight_sample
+    wcap = cfg.integration_weight_max
 
-    def kernel(nact_ref, img_ref, pb_ref, a_ref, out_ref):
+    def kernel(nact_ref, img_ref, pb_ref, a_ref, osdf_ref, ow_ref, oc_ref,
+               nsdf_ref, nw_ref, nc_ref, dsc, rsc, gsc, bsc):
         # Compacted active lists are packed: every block of this batch is
         # past n_active -> skip the whole body (out rows are garbage but
         # the fusion scatter drops rows >= n_active via safe_idx).
@@ -92,10 +95,17 @@ def _make_kernel(cam: CameraConfig, wcols: int):
 
         @pl.when(i * _BATCH_A < nact_ref[0])
         def _body():
-            _kernel_body(img_ref, pb_ref, a_ref, out_ref)
+            _kernel_body(img_ref, pb_ref, a_ref, osdf_ref, ow_ref, oc_ref,
+                         nsdf_ref, nw_ref, nc_ref, dsc, rsc, gsc, bsc)
 
-    def _kernel_body(img_ref, pb_ref, a_ref, out_ref):
-        # --- batched affine projection ([B,512], full-vreg layouts) ------
+    def _kernel_body(img_ref, pb_ref, a_ref, osdf_ref, ow_ref, oc_ref,
+                     nsdf_ref, nw_ref, nc_ref, dsc, rsc, gsc, bsc):
+        # Layout discipline: everything that CAN be phrased per-batch runs
+        # on [B,512] full-vreg tiles (a [1,512] op wastes 7/8 of every
+        # vreg's sublanes); only the patch slice, one-hot matmul and
+        # column gather are inherently per-block.
+
+        # --- phase A: batched projection + patch-index prep [B,512] ------
         pbx = pb_ref[:, 0:1]
         pby = pb_ref[:, 1:2]
         pbz = pb_ref[:, 2:3]                              # [B,1] f32
@@ -113,12 +123,28 @@ def _make_kernel(cam: CameraConfig, wcols: int):
         vi_m = jnp.where(on, vi, big)
         ui_m = jnp.where(on, ui, big)
 
+        # batched window origins (must match the per-block scalar ones
+        # computed for the slice below: same clip/floor chain)
+        v0v = jnp.clip((jnp.min(vi_m, axis=1, keepdims=True) // 8) * 8,
+                       0, h - _PATCH_ROWS)                # [B,1]
+        u0v = jnp.clip((jnp.min(ui_m, axis=1, keepdims=True) * _NCH
+                        // _LANE) * _LANE, 0, wcols - _PATCH_COLS)
+        dv = vi - v0v                                     # [B,512]
+        du = ui * _NCH - u0v
+        ok = (on & (dv >= 0) & (dv < _PATCH_ROWS)
+              & (du >= 0) & (du <= _PATCH_COLS - _NCH))
+        rowidx = jnp.where(ok, _PATCH_ROWS * (du >> 7) + dv,
+                           jnp.int32(2 * _ROWS_FOLD))     # [B,512]
+        lane = jnp.where(ok, du & (_LANE - 1), 0)
+        lane_t = jnp.transpose(lane, (1, 0))              # [512,B] (one
+        # batched transpose instead of B per-block [1,512] transposes)
+
         riota = lax.broadcasted_iota(jnp.int32, (_ROWS_FOLD, 1), 0)
         lane8 = lax.broadcasted_iota(
             jnp.int32, (VOXELS_PER_BLOCK, _LANE), 1) % _NCH
 
+        # --- phase B: per-block patch pick (MXU one-hot + lane gather) ---
         for k in range(_BATCH_A):
-            # --- per-block aligned window origin (scalar math) -----------
             vmin = jnp.min(vi_m[k:k + 1, :])
             umin = jnp.min(ui_m[k:k + 1, :])
             v0 = jnp.clip((vmin // 8) * 8, 0, h - _PATCH_ROWS)
@@ -134,52 +160,82 @@ def _make_kernel(cam: CameraConfig, wcols: int):
                 [patch[:, _LANE * j:_LANE * (j + 1)] for j in range(_FOLD)],
                 axis=0)                                   # [128,128]
 
-            dv = vi[k:k + 1, :] - v0                      # [1,512]
-            du = ui[k:k + 1, :] * _NCH - u0
-            ok = (on[k:k + 1, :] & (dv >= 0) & (dv < _PATCH_ROWS)
-                  & (du >= 0) & (du <= _PATCH_COLS - _NCH))
-            rowidx = jnp.where(ok, _PATCH_ROWS * (du >> 7) + dv,
-                               jnp.int32(2 * _ROWS_FOLD))
-            lane = jnp.where(ok, du & (_LANE - 1), 0)
-
             # row+chunk pick on the MXU (invalid rows -> all-zero one-hot
             # -> d = 0 -> "no update" downstream)
-            oh = (rowidx == riota).astype(jnp.bfloat16)   # [128,512]
+            oh = (rowidx[k:k + 1, :] == riota).astype(jnp.bfloat16)
             sel = lax.dot_general(oh, pstack, (((0,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
             # column pick: lane j of the gather reads channel j mod 8
-            lane_col = jnp.transpose(lane, (1, 0))        # [512,1]
-            idx = lane_col + lane8                        # [512,128]
+            idx = lane_t[:, k:k + 1] + lane8              # [512,128]
             g = _lane_gather(sel, idx)                    # [512,128] f32
             chan = jnp.transpose(g[:, :_NCH], (1, 0))     # [8,512] f32
 
-            d = chan[0:1, :] + chan[1:2, :]               # exact f32 depth
-            s = d - pz[k:k + 1, :]                        # raw projective sdf
-            s_hi = s.astype(jnp.bfloat16)
-            s_lo = (s - s_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            out_ref[k] = jnp.concatenate(
-                [chan[:5].astype(jnp.bfloat16), s_hi, s_lo,
-                 jnp.zeros((1, VOXELS_PER_BLOCK), jnp.bfloat16)], axis=0)
+            dsc[k:k + 1, :] = chan[0:1, :] + chan[1:2, :]  # exact f32 depth
+            rsc[k:k + 1, :] = chan[2:3, :]
+            gsc[k:k + 1, :] = chan[3:4, :]
+            bsc[k:k + 1, :] = chan[4:5, :]
+
+        # --- phase C: batched combineVoxel [B,512] ------------------------
+        # (VoxelUtilHashSDF.h:228-250); gathered d = 0 (off-patch /
+        # invalid pixel) -> no update
+        d = dsc[:, :]
+        cr = rsc[:, :]
+        cg = gsc[:, :]
+        cb = bsc[:, :]
+        s_new = d - pz                                    # raw projective sdf
+        trunc = trunc0 + ts * d
+        update = (d > 0.0) & (d < maxdist) & (s_new > -trunc)
+        s_c = jnp.clip(s_new, -trunc, trunc)
+        depth01 = (d - dmin) / (dmax - dmin)
+        w_new = jnp.maximum(iws * 1.5 * (1.0 - depth01), 1.0)
+
+        osdf = osdf_ref[:, :]                             # [B,512] f32
+        ow = ow_ref[:, :]
+        oc = oc_ref[:, :]                                 # i32 0x00RRGGBB
+        o_r = ((oc >> 16) & 0xFF).astype(jnp.float32)
+        o_g = ((oc >> 8) & 0xFF).astype(jnp.float32)
+        o_b = (oc & 0xFF).astype(jnp.float32)
+
+        w_sum = ow + w_new                                # >= 1, never 0
+        f_sdf = (osdf * ow + s_c * w_new) / w_sum
+        f_w = jnp.minimum(w_sum, wcap)
+        f_r = jnp.clip(jnp.floor(0.5 * o_r + 0.5 * cr + 0.5), 0, 255)
+        f_g = jnp.clip(jnp.floor(0.5 * o_g + 0.5 * cg + 0.5), 0, 255)
+        f_b = jnp.clip(jnp.floor(0.5 * o_b + 0.5 * cb + 0.5), 0, 255)
+        f_c = ((f_r.astype(jnp.int32) << 16)
+               | (f_g.astype(jnp.int32) << 8)
+               | f_b.astype(jnp.int32))
+
+        nsdf_ref[:, :] = jnp.where(update, f_sdf, osdf)
+        nw_ref[:, :] = jnp.where(update, f_w, ow)
+        nc_ref[:, :] = jnp.where(update, f_c, oc)
 
     return kernel
 
 
-def _run_gather(img, pb, aff, g, cam, interpret, n_active=None):
-    """Run the fused kernel over ``g`` blocks (padded to the batch).
+def _run_fused(img, pb, aff, old_sdf, old_w, old_c, g, cam, cfg,
+               interpret, n_active=None):
+    """Run the fused sample+combine kernel over ``g`` blocks.
 
     ``img``: [h, wcols] bf16 interleaved frame; ``pb``: [g,8] f32 per-block
     camera-space base points (cols 0-2; sentinel rows for padding);
-    ``aff``: [3,512] f32 per-frame affine offsets. Returns [g,8,512] bf16
-    channels (d_hi, d_lo, r, g, b, s_hi, s_lo, 0).
+    ``aff``: [3,512] f32 per-frame affine offsets; ``old_*``: [g,512]
+    row-gathered pool data (color bitcast to i32). Returns the fused
+    (sdf f32, weight f32, color i32) rows [g,512].
     """
     gp = -(-g // _BATCH_A) * _BATCH_A
     if gp != g:
         pb = jnp.pad(pb, ((0, gp - g), (0, 0)),
                      constant_values=_PB_SENTINEL)
-    kernel = _make_kernel(cam, img.shape[1])
+        old_sdf = jnp.pad(old_sdf, ((0, gp - g), (0, 0)))
+        old_w = jnp.pad(old_w, ((0, gp - g), (0, 0)))
+        old_c = jnp.pad(old_c, ((0, gp - g), (0, 0)))
+    kernel = _make_kernel(cam, cfg, img.shape[1])
     if n_active is None:
         n_active = jnp.int32(g)
     nact = jnp.asarray(n_active, jnp.int32).reshape(1)
+    row_spec = pl.BlockSpec((_BATCH_A, VOXELS_PER_BLOCK),
+                            lambda i, n: (i, 0), memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(gp // _BATCH_A,),
@@ -190,19 +246,22 @@ def _run_gather(img, pb, aff, g, cam, interpret, n_active=None):
                          memory_space=pltpu.VMEM),        # pb per batch
             pl.BlockSpec((3, VOXELS_PER_BLOCK), lambda i, n: (0, 0),
                          memory_space=pltpu.VMEM),        # affine table
+            row_spec, row_spec, row_spec,                 # old rows
         ],
-        out_specs=pl.BlockSpec((_BATCH_A, _NCH, VOXELS_PER_BLOCK),
-                               lambda i, n: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=[row_spec, row_spec, row_spec],
+        scratch_shapes=[pltpu.VMEM((_BATCH_A, VOXELS_PER_BLOCK),
+                                   jnp.float32) for _ in range(4)],
     )
-    out = pl.pallas_call(
+    vshape = (gp, VOXELS_PER_BLOCK)
+    nsdf, nw, nc = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((gp, _NCH, VOXELS_PER_BLOCK),
-                                       jnp.bfloat16),
+        out_shape=[jax.ShapeDtypeStruct(vshape, jnp.float32),
+                   jax.ShapeDtypeStruct(vshape, jnp.float32),
+                   jax.ShapeDtypeStruct(vshape, jnp.int32)],
         interpret=interpret,
-    )(nact, img, pb, aff)
-    return out[:g]
+    )(nact, img, pb, aff, old_sdf, old_w, old_c)
+    return nsdf[:g], nw[:g], nc[:g]
 
 
 # ---------------------------------------------------------------------------
@@ -279,50 +338,14 @@ def integrate_pallas(state: MapState, depth, color, pose,
                      r[1, 0] * ox + r[1, 1] * oy + r[1, 2] * oz,
                      r[2, 0] * ox + r[2, 1] * oy + r[2, 2] * oz], axis=0)
 
-    # ---- fused projection + gather kernel -------------------------------
-    chans = _run_gather(img, pb, aff, g, cam, interpret,
-                        n_active=n_active)                  # [G,8,512] bf16
-
-    d = chans[:, 0, :].astype(jnp.float32) \
-        + chans[:, 1, :].astype(jnp.float32)                # [G,512]
-    cr = chans[:, 2, :].astype(jnp.float32)
-    cg = chans[:, 3, :].astype(jnp.float32)
-    cb = chans[:, 4, :].astype(jnp.float32)
-    sdf_new = chans[:, 5, :].astype(jnp.float32) \
-        + chans[:, 6, :].astype(jnp.float32)                # d - pz
-
-    # ---- XLA fusion on compact rows (elementwise, full VPU layout) -----
-    # combineVoxel (VoxelUtilHashSDF.h:228-250)
-    d_valid = d > 0.0
-    trunc = cfg.truncation + cfg.truncation_scale * d
-    update = (is_real[:, None] & d_valid
-              & (d < cfg.max_integration_distance)
-              & (sdf_new > -trunc))
-    sdf_new = jnp.clip(sdf_new, -trunc, trunc)
-    depth01 = (d - cam.depth_min) / (cam.depth_max - cam.depth_min)
-    w_new = jnp.maximum(
-        cfg.integration_weight_sample * 1.5 * (1.0 - depth01), 1.0)
-
+    # ---- fused projection + gather + combineVoxel kernel ----------------
     old_sdf = state.sdf[active_idx]                         # row gathers
     old_w = state.weight[active_idx]
-    old_c = state.color[active_idx]
-    o_r = ((old_c >> 16) & 0xFF).astype(jnp.float32)
-    o_g = ((old_c >> 8) & 0xFF).astype(jnp.float32)
-    o_b = (old_c & 0xFF).astype(jnp.float32)
-
-    w_sum = old_w + w_new
-    f_sdf = (old_sdf * old_w + sdf_new * w_new) / w_sum
-    f_w = jnp.minimum(w_sum, cfg.integration_weight_max)
-    f_r = jnp.floor(0.5 * o_r + 0.5 * cr + 0.5)
-    f_g = jnp.floor(0.5 * o_g + 0.5 * cg + 0.5)
-    f_b = jnp.floor(0.5 * o_b + 0.5 * cb + 0.5)
-    f_c = ((jnp.clip(f_r, 0, 255).astype(jnp.uint32) << 16)
-           | (jnp.clip(f_g, 0, 255).astype(jnp.uint32) << 8)
-           | jnp.clip(f_b, 0, 255).astype(jnp.uint32))
-
-    out_sdf = jnp.where(update, f_sdf, old_sdf)
-    out_w = jnp.where(update, f_w, old_w)
-    out_c = jnp.where(update, f_c, old_c)
+    old_c = lax.bitcast_convert_type(state.color[active_idx], jnp.int32)
+    out_sdf, out_w, out_c_i = _run_fused(
+        img, pb, aff, old_sdf, old_w, old_c, g, cam, cfg, interpret,
+        n_active=n_active)                                  # [G,512]
+    out_c = lax.bitcast_convert_type(out_c_i, jnp.uint32)
 
     safe_idx = jnp.where(is_real, active_idx.astype(jnp.int32),
                          jnp.int32(n))
