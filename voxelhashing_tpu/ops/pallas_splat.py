@@ -25,6 +25,14 @@ matmuls per block ride the MXU; no gathers, no scatters.
 Depth precision: z is split into two bf16 limbs (hi + lo) so the matmul
 accumulation carries f32-grade depth (~0.1 mm at 5 m).
 
+v2 (round 2): the whole projection runs IN-KERNEL from a per-block base
+point + shared affine offset table (the integrate kernel's decomposition,
+``p[v] = pb + A·off[v]``), batched on full-vreg [B,512] tiles — the
+[S,512] XLA projection pass and its four HBM index/limb tensors are gone;
+the kernel consumes the same row-gathered sdf/weight the surface cull
+already produced. Padding rows ride a pb sentinel (off-screen), and the
+clipped-voxel count accumulates in SMEM.
+
 Reference being replaced: the per-pixel ray marcher
 /root/reference/DepthSensingCUDA/Source/CUDARayCastSDF.cu:18-57 (already
 re-derived as splatting in raycast.py; this is its TPU kernel form).
@@ -48,98 +56,137 @@ from ..blockmap import MapState
 
 _ROWS = 32      # patch rows (8-aligned v origin)
 _COLS = 256     # patch cols (128-aligned u origin; spans <= 128 px fit)
-_BATCH = 4      # blocks per grid step
+_BATCH = 8      # blocks per grid step
 _DV_INVALID = 63
+_PB_SENTINEL = 1.0e9  # pb for padded/masked rows -> off-screen -> no splat
 
 
-def _splat_kernel(ns_ref, v0_ref, u0_ref, dv_ref, du_ref, zhi_ref, zlo_ref,
-                  out_ref):
-    i = pl.program_id(0)
+def _make_kernel(cam: CameraConfig, cfg: MapConfig, hpad: int, wpad: int):
+    h, w = cam.height, cam.width
+    fx, fy, cx, cy = cam.fx, cam.fy, cam.cx, cam.cy
+    dmin, dmax = cam.depth_min, cam.depth_max
+    vs = cfg.voxel_size
 
-    @pl.when(i == 0)
-    def _():
-        out_ref[:] = jnp.full_like(out_ref, jnp.inf)
+    def kernel(ns_ref, pb_ref, a_ref, sdf_ref, wgt_ref, out_ref, cnt_ref):
+        i = pl.program_id(0)
 
-    # The culled surface list is packed (real rows first): once the batch
-    # start passes n_rows, every later grid step is padding — skip the
-    # matmul body entirely (same scalar-prefetch trick as the integrate
-    # kernel). The z-buffer init above still runs at i == 0.
-    @pl.when(i * _BATCH < ns_ref[0])
-    def _batch_body():
-        _splat_batch(i, v0_ref, u0_ref, dv_ref, du_ref, zhi_ref, zlo_ref,
-                     out_ref)
+        @pl.when(i == 0)
+        def _():
+            out_ref[:] = jnp.full_like(out_ref, jnp.inf)
+            cnt_ref[0] = jnp.int32(0)
 
+        # Packed culled rows: skip whole batches past n_rows (the z-buffer
+        # init above still runs at i == 0).
+        @pl.when(i * _BATCH < ns_ref[0])
+        def _batch():
+            _body(pb_ref, a_ref, sdf_ref, wgt_ref, out_ref, cnt_ref)
 
-def _splat_batch(i, v0_ref, u0_ref, dv_ref, du_ref, zhi_ref, zlo_ref,
-                 out_ref):
-    riota = lax.broadcasted_iota(jnp.int32, (_ROWS, 1), 0)
-    ciota = lax.broadcasted_iota(jnp.int32, (1, _COLS), 1)
-    for k in range(_BATCH):
-        b = i * _BATCH + k
-        dv = dv_ref[k]                                   # [1,512] i32
-        du = du_ref[k]                                   # [1,512]
-        zhi = zhi_ref[k]                                 # [1,512] bf16
-        zlo = zlo_ref[k]                                 # [1,512] bf16
+    def _body(pb_ref, a_ref, sdf_ref, wgt_ref, out_ref, cnt_ref):
+        # --- phase A: batched projection + patch coords [B,512] ----------
+        pbx = pb_ref[:, 0:1]
+        pby = pb_ref[:, 1:2]
+        pbz = pb_ref[:, 2:3]                              # [B,1] f32
+        px = pbx + a_ref[0:1, :]
+        py = pby + a_ref[1:2, :]
+        pz = pbz + a_ref[2:3, :]                          # [B,512]
+        sdf = sdf_ref[:, :]
+        wgt = wgt_ref[:, :]
+        surface = (wgt > 0.0) & (jnp.abs(sdf) < vs)
+        z_surf = pz + sdf
+        safe_z = jnp.where(pz == 0.0, 1e-12, pz)
+        ui = jnp.floor(px * fx / safe_z + cx + 0.5).astype(jnp.int32)
+        vi = jnp.floor(py * fy / safe_z + cy + 0.5).astype(jnp.int32)
+        ok = (surface & (pz > 0.0)
+              & (ui >= 0) & (ui < w) & (vi >= 0) & (vi < h)
+              & (z_surf > dmin) & (z_surf < dmax))
+        big = jnp.int32(1 << 20)
+        vi_m = jnp.where(ok, vi, big)
+        ui_m = jnp.where(ok, ui, big)
+        v0v = jnp.clip((jnp.min(vi_m, axis=1, keepdims=True) // 8) * 8,
+                       0, hpad - _ROWS)                   # [B,1]
+        u0v = jnp.clip((jnp.min(ui_m, axis=1, keepdims=True) // 128) * 128,
+                       0, wpad - _COLS)
+        dv = vi - v0v
+        du = ui - u0v
+        in_patch = (dv >= 0) & (dv < _ROWS) & (du >= 0) & (du < _COLS)
+        cnt_ref[0] += jnp.sum((ok & ~in_patch).astype(jnp.int32))
+        okp = ok & in_patch
+        dv = jnp.where(okp, dv, _DV_INVALID)
+        du = jnp.where(okp, du, 0)
+        z = jnp.where(okp, z_surf, 0.0)
+        zhi = z.astype(jnp.bfloat16)
+        zlo = (z - zhi.astype(jnp.float32)).astype(jnp.bfloat16)
+        # one batched transpose each (vs B per-block [1,512] transposes)
+        du_t = jnp.transpose(du, (1, 0))                  # [512,B]
+        zhi_t = jnp.transpose(zhi, (1, 0))
+        zlo_t = jnp.transpose(zlo, (1, 0))
 
-        r = (dv == riota).astype(jnp.bfloat16)           # [32,512]
-        du_c = jnp.transpose(du, (1, 0))                 # [512,1]
-        c = (du_c == ciota).astype(jnp.bfloat16)         # [512,256]
-        zhi_c = jnp.transpose(zhi, (1, 0))               # [512,1]
-        zlo_c = jnp.transpose(zlo, (1, 0))
-
+        riota = lax.broadcasted_iota(jnp.int32, (_ROWS, 1), 0)
+        ciota = lax.broadcasted_iota(jnp.int32, (1, _COLS), 1)
         dots = functools.partial(lax.dot_general,
                                  dimension_numbers=(((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        cnt = dots(r, c)                                 # [32,256] f32
-        s_hi = dots(r, c * zhi_c)
-        s_lo = dots(r, c * zlo_c)
-        patch = jnp.where(cnt > 0.5, (s_hi + s_lo) / jnp.maximum(cnt, 1.0),
-                          jnp.inf)
 
-        v0 = pl.multiple_of(v0_ref[b], 8)
-        u0 = pl.multiple_of(u0_ref[b], 128)
-        cur = out_ref[pl.ds(v0, _ROWS), pl.ds(u0, _COLS)]
-        out_ref[pl.ds(v0, _ROWS), pl.ds(u0, _COLS)] = jnp.minimum(cur, patch)
+        # --- phase B: per-block one-hot matmuls + z-buffer min -----------
+        for k in range(_BATCH):
+            r = (dv[k:k + 1, :] == riota).astype(jnp.bfloat16)   # [32,512]
+            c = (du_t[:, k:k + 1] == ciota).astype(jnp.bfloat16)  # [512,256]
+            cnt = dots(r, c)                                     # [32,256]
+            s_hi = dots(r, c * zhi_t[:, k:k + 1])
+            s_lo = dots(r, c * zlo_t[:, k:k + 1])
+            patch = jnp.where(cnt > 0.5,
+                              (s_hi + s_lo) / jnp.maximum(cnt, 1.0),
+                              jnp.inf)
+
+            vmin = jnp.min(vi_m[k:k + 1, :])
+            umin = jnp.min(ui_m[k:k + 1, :])
+            v0 = jnp.clip((vmin // 8) * 8, 0, hpad - _ROWS)
+            u0 = jnp.clip((umin // 128) * 128, 0, wpad - _COLS)
+            v0 = pl.multiple_of(v0, 8)
+            u0 = pl.multiple_of(u0, 128)
+            cur = out_ref[pl.ds(v0, _ROWS), pl.ds(u0, _COLS)]
+            out_ref[pl.ds(v0, _ROWS), pl.ds(u0, _COLS)] = \
+                jnp.minimum(cur, patch)
+
+    return kernel
 
 
-def _run_splat(n_rows, v0, u0, dv, du, zhi, zlo, hpad, wpad, interpret):
-    s = dv.shape[0]
+def _run_splat(n_rows, pb, aff, sdf, wgt, cam, cfg, hpad, wpad, interpret):
+    s = sdf.shape[0]
     sp = -(-s // _BATCH) * _BATCH
     if sp != s:
-        dv = jnp.pad(dv, ((0, sp - s), (0, 0), (0, 0)),
-                     constant_values=_DV_INVALID)
-        du = jnp.pad(du, ((0, sp - s), (0, 0), (0, 0)))
-        zhi = jnp.pad(zhi, ((0, sp - s), (0, 0), (0, 0)))
-        zlo = jnp.pad(zlo, ((0, sp - s), (0, 0), (0, 0)))
-        v0 = jnp.pad(v0, (0, sp - s))
-        u0 = jnp.pad(u0, (0, sp - s))
+        pb = jnp.pad(pb, ((0, sp - s), (0, 0)),
+                     constant_values=_PB_SENTINEL)
+        sdf = jnp.pad(sdf, ((0, sp - s), (0, 0)))
+        wgt = jnp.pad(wgt, ((0, sp - s), (0, 0)))
     ns = jnp.asarray(n_rows, jnp.int32).reshape(1)
+    row_spec = pl.BlockSpec((_BATCH, VOXELS_PER_BLOCK),
+                            lambda i, ns: (i, 0), memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=1,
         grid=(sp // _BATCH,),
         in_specs=[
-            pl.BlockSpec((_BATCH, 1, VOXELS_PER_BLOCK),
-                         lambda i, ns, v0, u0: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BATCH, 1, VOXELS_PER_BLOCK),
-                         lambda i, ns, v0, u0: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BATCH, 1, VOXELS_PER_BLOCK),
-                         lambda i, ns, v0, u0: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BATCH, 1, VOXELS_PER_BLOCK),
-                         lambda i, ns, v0, u0: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BATCH, 8), lambda i, ns: (i, 0),
+                         memory_space=pltpu.VMEM),        # pb per batch
+            pl.BlockSpec((3, VOXELS_PER_BLOCK), lambda i, ns: (0, 0),
+                         memory_space=pltpu.VMEM),        # affine table
+            row_spec, row_spec,                           # sdf / weight rows
         ],
-        out_specs=pl.BlockSpec((hpad, wpad), lambda i, ns, v0, u0: (0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=[
+            pl.BlockSpec((hpad, wpad), lambda i, ns: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
     )
-    return pl.pallas_call(
-        _splat_kernel,
+    kernel = _make_kernel(cam, cfg, hpad, wpad)
+    zbuf, nclip = pl.pallas_call(
+        kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((hpad, wpad), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((hpad, wpad), jnp.float32),
+                   jax.ShapeDtypeStruct((1,), jnp.int32)],
         interpret=interpret,
-    )(ns, v0, u0, dv, du, zhi, zlo)
+    )(ns, pb, aff, sdf, wgt)
+    return zbuf, nclip[0]
 
 
 def splat_zbuf_pallas(state: MapState, sdf, wgt, sel_active, row_mask, view,
@@ -153,60 +200,42 @@ def splat_zbuf_pallas(state: MapState, sdf, wgt, sel_active, row_mask, view,
     ``n_rows``: when the caller's row list is PACKED (all real rows before
     any padding, as the surface cull produces), the true row count — grid
     steps past it skip the matmul body. None = process every row.
+    ``row_mask`` rows set False are disabled via the pb sentinel.
     """
     h, w = cam.height, cam.width
     hpad = max(-(-h // 8) * 8, _ROWS)
     wpad = max(-(-w // 128) * 128 + 128, _COLS)
     vs = cfg.voxel_size
+    s = sel_active.shape[0]
 
-    # ---- XLA prep: project, patch-relative coords (elementwise only) ----
+    # ---- XLA prep: per-block base point + shared affine table ([S] ops) --
     blocks = geom.unpack_block_key(state.block_key[sel_active],
                                    cfg.world_blocks)              # [S,3]
-    base = geom.block_to_voxel(blocks)
-    offs = np.arange(VOXELS_PER_BLOCK, dtype=np.int32)
-    ox = jnp.asarray(offs % SDF_BLOCK_SIZE)
-    oy = jnp.asarray((offs // SDF_BLOCK_SIZE) % SDF_BLOCK_SIZE)
-    oz = jnp.asarray(offs // (SDF_BLOCK_SIZE * SDF_BLOCK_SIZE))
-    wx = (base[:, 0:1] + ox[None, :]).astype(jnp.float32) * vs    # [S,512]
-    wy = (base[:, 1:2] + oy[None, :]).astype(jnp.float32) * vs
-    wz = (base[:, 2:3] + oz[None, :]).astype(jnp.float32) * vs
+    base = geom.block_to_voxel(blocks).astype(jnp.float32) * vs
     r, t = view[:3, :3], view[:3, 3]
-    px = r[0, 0] * wx + r[0, 1] * wy + r[0, 2] * wz + t[0]
-    py = r[1, 0] * wx + r[1, 1] * wy + r[1, 2] * wz + t[1]
-    pz = r[2, 0] * wx + r[2, 1] * wy + r[2, 2] * wz + t[2]
+    pbx = r[0, 0] * base[:, 0] + r[0, 1] * base[:, 1] \
+        + r[0, 2] * base[:, 2] + t[0]                             # [S]
+    pby = r[1, 0] * base[:, 0] + r[1, 1] * base[:, 1] \
+        + r[1, 2] * base[:, 2] + t[1]
+    pbz = r[2, 0] * base[:, 0] + r[2, 1] * base[:, 1] \
+        + r[2, 2] * base[:, 2] + t[2]
+    pb = jnp.stack([jnp.where(row_mask, pbx, _PB_SENTINEL),
+                    jnp.where(row_mask, pby, _PB_SENTINEL),
+                    jnp.where(row_mask, pbz, _PB_SENTINEL)], axis=1)
+    pb = jnp.pad(pb, ((0, 0), (0, 8 - 3)))                        # [S,8]
 
-    surface = (wgt > 0.0) & (jnp.abs(sdf) < vs) & row_mask[:, None]
-    z_surf = pz + sdf
-    safe_z = jnp.where(pz == 0.0, 1e-12, pz)
-    ui = jnp.floor(px * cam.fx / safe_z + cam.cx + 0.5).astype(jnp.int32)
-    vi = jnp.floor(py * cam.fy / safe_z + cam.cy + 0.5).astype(jnp.int32)
-    ok = (surface & (pz > 0.0)
-          & (ui >= 0) & (ui < w) & (vi >= 0) & (vi < h)
-          & (z_surf > cam.depth_min) & (z_surf < cam.depth_max))
+    offs = np.arange(VOXELS_PER_BLOCK, dtype=np.int32)
+    ox = jnp.asarray(offs % SDF_BLOCK_SIZE, jnp.float32) * vs
+    oy = jnp.asarray((offs // SDF_BLOCK_SIZE) % SDF_BLOCK_SIZE,
+                     jnp.float32) * vs
+    oz = jnp.asarray(offs // (SDF_BLOCK_SIZE * SDF_BLOCK_SIZE),
+                     jnp.float32) * vs
+    aff = jnp.stack([r[0, 0] * ox + r[0, 1] * oy + r[0, 2] * oz,
+                     r[1, 0] * ox + r[1, 1] * oy + r[1, 2] * oz,
+                     r[2, 0] * ox + r[2, 1] * oy + r[2, 2] * oz], axis=0)
 
-    vmin = jnp.min(jnp.where(ok, vi, h), axis=1)                   # [S]
-    umin = jnp.min(jnp.where(ok, ui, w), axis=1)
-    v0 = jnp.clip((vmin // 8) * 8, 0, hpad - _ROWS)
-    u0 = jnp.clip((umin // 128) * 128, 0, wpad - _COLS)
-
-    dv = vi - v0[:, None]
-    du = ui - u0[:, None]
-    in_patch = (dv >= 0) & (dv < _ROWS) & (du >= 0) & (du < _COLS)
-    n_clipped = jnp.sum((ok & ~in_patch).astype(jnp.int32))
-    ok &= in_patch
-    dv = jnp.where(ok, dv, _DV_INVALID).astype(jnp.int32)
-    du = jnp.where(ok, du, 0).astype(jnp.int32)
-    z = jnp.where(ok, z_surf, 0.0)
-    zhi = z.astype(jnp.bfloat16)
-    zlo = (z - zhi.astype(jnp.float32)).astype(jnp.bfloat16)
-
-    s = sel_active.shape[0]
     if n_rows is None:
         n_rows = jnp.int32(s)
-    zbuf = _run_splat(n_rows, v0.astype(jnp.int32), u0.astype(jnp.int32),
-                      dv.reshape(s, 1, VOXELS_PER_BLOCK),
-                      du.reshape(s, 1, VOXELS_PER_BLOCK),
-                      zhi.reshape(s, 1, VOXELS_PER_BLOCK),
-                      zlo.reshape(s, 1, VOXELS_PER_BLOCK),
-                      hpad, wpad, interpret)
+    zbuf, n_clipped = _run_splat(n_rows, pb, aff, sdf, wgt, cam, cfg,
+                                 hpad, wpad, interpret)
     return zbuf[:h, :w].reshape(-1), n_clipped
