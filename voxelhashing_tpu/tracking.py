@@ -31,6 +31,7 @@ from typing import List, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from .config import CameraConfig, TrackerConfig
 from . import geometry as geom
@@ -91,44 +92,86 @@ def build_pyramid(points, normals, levels: int):
     return pyr
 
 
-def _associate(delta, in_pts, in_nrm, tgt_pts, tgt_nrm,
+def _soa(m):
+    """[h,w,3] map -> flat per-component ([P],[P],[P]) SoA views.
+
+    Every hot op in the tracker runs on flat [P] arrays: a [...,3]-minor
+    layout wastes 125/128 of each TPU vreg's lanes (BASELINE.md layout
+    rules), and the per-iteration transform/reject/linearise chain is
+    ~40 elementwise ops.
+    """
+    f = m.reshape(-1)
+    # 1-D strided slices: ~30x faster on TPU than [P,3] column slices or a
+    # [P,3]->[3,P] transpose (both ~0.9 ms per map at 320x240; this ~30 us)
+    return f[0::3], f[1::3], f[2::3]
+
+
+def _interleave_target(tgt_pts, tgt_nrm):
+    """[h,w,3] model maps -> one [P,8] interleaved row table
+    (qx,qy,qz,nqx,nqy,nqz,0,0): TPU gather cost scales with the INDEX
+    count, not the slice width, so one 8-wide row gather fetches point and
+    normal together (3.05 ms -> 0.56 ms per associate at 320x240)."""
+    p = tgt_pts.reshape(-1, 3)
+    n = tgt_nrm.reshape(-1, 3)
+    return jnp.concatenate(
+        [p, n, jnp.zeros((p.shape[0], 2), p.dtype)], axis=1)
+
+
+def _associate(delta, in_soa, tgt8,
                cam: CameraConfig, dist_thres: float, normal_thres: float,
                depth_min: float, depth_max: float):
     """Projective correspondence search at the current delta.
 
     The reference's projectiveCorrespondencesKernel
     (CUDAImageHelper.cu:70-125): transform, project, 1x1 lookup, reject by
-    distance and normal agreement, store the confidence weight. Returns
-    (q, nq, wgt, ok) — fixed inputs for the inner Gauss-Newton iterations.
+    distance and normal agreement, store the confidence weight.
+    ``in_soa`` = (px,py,pz,nx,ny,nz) flat input SoA; ``tgt8`` is the
+    [P,8] interleaved model table from :func:`_interleave_target`. Returns
+    (q, nq, wgt, ok) SoA — fixed inputs for the inner Gauss-Newton
+    iterations.
     """
-    r = delta[:3, :3]
-    p = in_pts @ r.T + delta[:3, 3]                # [..,3] transformed input
-    n = in_nrm @ r.T
+    ipx, ipy, ipz, inx, iny, inz = in_soa
+    r, t = delta[:3, :3], delta[:3, 3]
+    px = r[0, 0] * ipx + r[0, 1] * ipy + r[0, 2] * ipz + t[0]
+    py = r[1, 0] * ipx + r[1, 1] * ipy + r[1, 2] * ipz + t[1]
+    pz = r[2, 0] * ipx + r[2, 1] * ipy + r[2, 2] * ipz + t[2]
+    nx = r[0, 0] * inx + r[0, 1] * iny + r[0, 2] * inz
+    ny = r[1, 0] * inx + r[1, 1] * iny + r[1, 2] * inz
+    nz = r[2, 0] * inx + r[2, 1] * iny + r[2, 2] * inz
 
-    uv = geom.camera_to_screen_int(p, cam)
-    ui = jnp.clip(uv[..., 0], 0, cam.width - 1)
-    vi = jnp.clip(uv[..., 1], 0, cam.height - 1)
-    on = ((uv[..., 0] >= 0) & (uv[..., 0] < cam.width)
-          & (uv[..., 1] >= 0) & (uv[..., 1] < cam.height))
+    safe_z = jnp.where(pz == 0.0, 1e-12, pz)
+    uf = px * cam.fx / safe_z + cam.cx
+    vf = py * cam.fy / safe_z + cam.cy
+    ui = jnp.floor(uf + 0.5).astype(jnp.int32)
+    vi = jnp.floor(vf + 0.5).astype(jnp.int32)
+    on = ((ui >= 0) & (ui < cam.width) & (vi >= 0) & (vi < cam.height)
+          & (pz > 0.0))
+    lin = jnp.where(on, vi * cam.width + ui, 0)
 
-    q = tgt_pts[vi, ui]                            # [..,3]
-    nq = tgt_nrm[vi, ui]
+    g8 = jnp.transpose(tgt8[lin], (1, 0))          # one row gather -> [8,P]
+    qx, qy, qz = g8[0], g8[1], g8[2]
+    nqx, nqy, nqz = g8[3], g8[4], g8[5]
 
-    d = p - q
-    dist = jnp.linalg.norm(d, axis=-1)
-    ndot = jnp.sum(n * nq, axis=-1)
-    ok = (on
-          & jnp.all(jnp.isfinite(p), axis=-1) & jnp.all(jnp.isfinite(n), -1)
-          & jnp.all(jnp.isfinite(q), axis=-1) & jnp.all(jnp.isfinite(nq), -1)
-          & (dist <= dist_thres) & (ndot >= normal_thres))
+    dx, dy, dz = px - qx, py - qy, pz - qz
+    dist2 = dx * dx + dy * dy + dz * dz
+    ndot = nx * nqx + ny * nqy + nz * nqz
+    fin = (jnp.isfinite(px) & jnp.isfinite(py) & jnp.isfinite(pz)
+           & jnp.isfinite(nx) & jnp.isfinite(ny) & jnp.isfinite(nz)
+           & jnp.isfinite(qx) & jnp.isfinite(qy) & jnp.isfinite(qz)
+           & jnp.isfinite(nqx) & jnp.isfinite(nqy) & jnp.isfinite(nqz))
+    ok = (on & fin & (dist2 <= dist_thres * dist_thres)
+          & (ndot >= normal_thres))
 
     # Confidence weight (CUDAImageHelper.cu:117): distance + depth falloff.
-    depth01 = jnp.clip((p[..., 2] - depth_min) / (depth_max - depth_min),
-                       0.0, 1.0)
+    dist = jnp.sqrt(dist2)
+    depth01 = jnp.clip((pz - depth_min) / (depth_max - depth_min), 0.0, 1.0)
     wgt = 0.5 * ((1.0 - dist / dist_thres) + (1.0 - depth01))
     wgt = jnp.where(ok, jnp.maximum(wgt, 0.0), 0.0)
-    nq = jnp.where(ok[..., None], nq, 0.0)
-    q = jnp.where(ok[..., None], q, 0.0)
+    zero = jnp.zeros_like(qx)
+    q = (jnp.where(ok, qx, zero), jnp.where(ok, qy, zero),
+         jnp.where(ok, qz, zero))
+    nq = (jnp.where(ok, nqx, zero), jnp.where(ok, nqy, zero),
+          jnp.where(ok, nqz, zero))
     return q, nq, wgt, ok
 
 
@@ -145,9 +188,11 @@ def _whitening(q, ok, reduce_sys):
     geometric degeneracy (a bare wall) rather than coordinate units.
     ``reduce_sys`` makes the moments global across a device mesh.
     """
+    qx, qy, qz = q
     okf = ok.astype(jnp.float32)
-    sum_q = jnp.sum(q * okf[..., None], axis=tuple(range(ok.ndim)))
-    sum_qq = jnp.sum(jnp.sum(q * q, -1) * okf)
+    sum_q = jnp.stack([jnp.sum(qx * okf), jnp.sum(qy * okf),
+                       jnp.sum(qz * okf)])
+    sum_qq = jnp.sum((qx * qx + qy * qy + qz * qz) * okf)
     cnt = jnp.sum(okf)
     sum_q, sum_qq, cnt = reduce_sys((sum_q, sum_qq, cnt))
     n = jnp.maximum(cnt, 1.0)
@@ -157,7 +202,7 @@ def _whitening(q, ok, reduce_sys):
     return mean, inv_std
 
 
-def _linearize(delta, in_pts, q, nq, wgt, ok, mean, inv_std):
+def _linearize(delta, in_soa, q, nq, wgt, ok, mean, inv_std):
     """Point-to-plane normal equations about the current delta against
     FIXED correspondences (the applyBL re-build inside the inner loop,
     CUDABuildLinearSystem.cu:71-114 / CUDACameraTrackingMultiRes.cpp:217-246),
@@ -167,29 +212,46 @@ def _linearize(delta, in_pts, q, nq, wgt, ok, mean, inv_std):
 
     Linearisation: residual e = n_q . (pc - qc) with pc = white(delta(p));
     about identity pc' = pc + w x pc + t, so the Jacobian row is
-    j = [pc x n_q | n_q] and the rhs accumulates -j * e.
+    j = [pc x n_q | n_q] and the rhs accumulates -j * e.  The reduction is
+    phrased as J_w [8,P] @ J^T [P,8] so the 36 accumulators ride the MXU
+    with P on the minor axis (the reference's shared-memory tree reduction,
+    CUDABuildLinearSystem.cu:92-181, became one matmul).
     """
-    r = delta[:3, :3]
-    p = in_pts @ r.T + delta[:3, 3]
-    p = jnp.where(ok[..., None], p, 0.0)
-    pc = (p - mean) * inv_std
-    qc = (q - mean) * inv_std
-    pc = jnp.where(ok[..., None], pc, 0.0)
-    qc = jnp.where(ok[..., None], qc, 0.0)
-    e = jnp.sum(nq * (pc - qc), axis=-1)           # point-to-plane residual
+    ipx, ipy, ipz = in_soa[0], in_soa[1], in_soa[2]
+    r, t = delta[:3, :3], delta[:3, 3]
+    px = r[0, 0] * ipx + r[0, 1] * ipy + r[0, 2] * ipz + t[0]
+    py = r[1, 0] * ipx + r[1, 1] * ipy + r[1, 2] * ipz + t[1]
+    pz = r[2, 0] * ipx + r[2, 1] * ipy + r[2, 2] * ipz + t[2]
+    okf = ok.astype(jnp.float32)
+    pcx = (px - mean[0]) * inv_std * okf
+    pcy = (py - mean[1]) * inv_std * okf
+    pcz = (pz - mean[2]) * inv_std * okf
+    qx, qy, qz = q
+    qcx = (qx - mean[0]) * inv_std * okf
+    qcy = (qy - mean[1]) * inv_std * okf
+    qcz = (qz - mean[2]) * inv_std * okf
+    nqx, nqy, nqz = nq
+    e = nqx * (pcx - qcx) + nqy * (pcy - qcy) + nqz * (pcz - qcz)
+    e = jnp.where(ok, e, 0.0)
     # Jacobian row about identity: e ~ e0 + (pc x n).w + n.t.  The solve's x
     # is delinearised as Euler ZYX (pose_from_x), whose small-angle rotation
     # vector is (gamma, beta, alpha) = (w_x, w_y, w_z) with x = (alpha, beta,
     # gamma, t): so the rotation block is REVERSED: (w_z, w_y, w_x).
-    cr = jnp.cross(pc, nq)
-    j = jnp.concatenate([cr[..., ::-1], nq], axis=-1)      # [..,6]
-    e = jnp.where(ok, e, 0.0)
-
-    jw = j * wgt[..., None]
-    a = jnp.einsum("...i,...j->ij", jw, j)
-    b = -jnp.sum(jw * e[..., None], axis=tuple(range(e.ndim)))
-    sum_res = jnp.sum(wgt * e * e)
-    sum_w = jnp.sum(wgt)
+    crx = pcy * nqz - pcz * nqy
+    cry = pcz * nqx - pcx * nqz
+    crz = pcx * nqy - pcy * nqx
+    jrows = jnp.stack([crz, cry, crx, nqx, nqy, nqz,
+                       e, jnp.ones_like(e)], axis=0)       # [8,P]
+    jw = jrows * wgt[None, :]
+    # One [8,P]@[P,8] contraction yields A (rows 0-5), b (row 6), sum_res
+    # (m[6,6] = sum w e^2) and sum_w (m[7,7] = sum w * 1 * 1) together.
+    m = lax.dot_general(jw, jrows, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        )   # [8,8]
+    a = m[:6, :6]
+    b = -m[6, :6]
+    sum_res = m[6, 6]
+    sum_w = m[7, 7]
     count = jnp.sum(ok.astype(jnp.int32))
     return a, b, sum_res, sum_w, count
 
@@ -209,12 +271,15 @@ def _build_system(delta, in_pts, in_nrm, tgt_pts, tgt_nrm,
                   cam: CameraConfig, dist_thres: float, normal_thres: float,
                   depth_min: float, depth_max: float):
     """Associate + linearise in one pass (single-inner-iteration shape;
-    unwhitened — kept for unit tests of the raw linearisation)."""
-    q, nq, wgt, ok = _associate(delta, in_pts, in_nrm, tgt_pts, tgt_nrm,
+    unwhitened — kept for unit tests of the raw linearisation). Takes
+    [...,3] maps; the hot path inside works on flat SoA."""
+    in_soa = _soa(in_pts) + _soa(in_nrm)
+    q, nq, wgt, ok = _associate(delta, in_soa,
+                                _interleave_target(tgt_pts, tgt_nrm),
                                 cam, dist_thres, normal_thres,
                                 depth_min, depth_max)
     zero = jnp.zeros((3,), jnp.float32)
-    return _linearize(delta, in_pts, q, nq, wgt, ok, zero, jnp.float32(1.0))
+    return _linearize(delta, in_soa, q, nq, wgt, ok, zero, jnp.float32(1.0))
 
 
 def _solve6(a, b, cond_thres: float):
@@ -350,6 +415,8 @@ def track(input_points, input_normals, model_points, model_normals,
         cam_l = _level_camera(cam, level)
         in_p, in_n = in_pyr[level]
         md_p, md_n = md_pyr[level]
+        in_soa = _soa(in_p) + _soa(in_n)
+        md8 = _interleave_target(md_p, md_n)
         done = jnp.array(False)
         last_res = jnp.float32(jnp.inf)
         lvl_res = jnp.float32(0.0)
@@ -360,7 +427,7 @@ def track(input_points, input_normals, model_points, model_normals,
         for _ in range(cfg.max_outer_iter[level]):
             # Outer iteration: re-associate at the current delta.
             q, nq, wgt, ok = _associate(
-                delta, in_p, in_n, md_p, md_n, cam_l,
+                delta, in_soa, md8, cam_l,
                 cfg.dist_thres[level], cfg.normal_thres[level],
                 cam.depth_min, cam.depth_max)
             mean, inv_std = _whitening(q, ok, reduce_sys)
@@ -368,7 +435,7 @@ def track(input_points, input_normals, model_points, model_normals,
             # correspondences (computeBestRigidAlignment, MultiRes.cpp:217).
             for _inner in range(cfg.max_inner_iter[level]):
                 a, b, sum_res, sum_w, count = reduce_sys(_linearize(
-                    delta, in_p, q, nq, wgt, ok, mean, inv_std))
+                    delta, in_soa, q, nq, wgt, ok, mean, inv_std))
                 if use_rgbd:
                     gx, gy = intensity_gradients(mi_pyr[level])
                     a_c, b_c, res_c, w_c, n_c = _build_system_color(
