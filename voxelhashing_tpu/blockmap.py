@@ -252,7 +252,12 @@ def _allocate_unique(state: MapState, keys, cfg: MapConfig
     alloc_base = jnp.int32(0)
     claim_init = jnp.full((h,), jnp.int32(0x7FFFFFFF))
 
-    for r in range(cfg.max_probes):
+    # Insert probes a SHORTER budget than lookup: at <= 50% pool/table load
+    # the claim lands within a few rounds; a key that loses all of them
+    # drops and retries next frame (same bucket-contention semantics as
+    # the reference). Any slot claimed here is within lookup's longer
+    # probe chain, so reachability is preserved.
+    for r in range(min(cfg.insert_probes, cfg.max_probes)):
         slots = _probe_slot(keys, r, h)
         tk = table_key[slots]
         # key already present (prior frame): stop

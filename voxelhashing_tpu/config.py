@@ -85,6 +85,10 @@ class MapConfig:
     # linked lists, VoxelUtilHashSDF.h:423-468). With a >= 4x oversized
     # double-hashed table, chains are short; rounds are statically unrolled.
     max_probes: int = 8
+    # Probe budget for the contended INSERT loop only (each unrolled round
+    # costs ~7 scatter/gather passes over the insert list; lookups keep the
+    # full max_probes chain). Keys losing every round drop-and-retry.
+    insert_probes: int = 4
     # Active-set cap: max blocks in camera frustum handled per frame
     # (the reference reads this count back per frame; we keep it static).
     max_active_blocks: int = 1 << 15
@@ -99,6 +103,11 @@ class MapConfig:
     # (the truncation band usually spans <= 4 blocks; reference caps the whole
     # ray walk at 1024 iters, CUDASceneRepHashSDF.cu:221).
     alloc_steps: int = 8
+    # Candidate-stream fold: each pixel's surviving DDA keys are rank-
+    # compacted into this many slots before the allocator (its compaction
+    # scatters scale with stream length). Pixels whose band crosses more
+    # blocks drop the excess for the frame (drop-and-retry semantics).
+    alloc_fold: int = 4
     # World extent: block coords live in [-world_blocks/2, world_blocks/2).
     # 1024^3 block keys pack into one int32 (30 bits).
     world_blocks: int = 1024

@@ -156,6 +156,26 @@ def alloc_candidates(depth, pose, cam: CameraConfig, cfg: MapConfig,
                     constant_values=INVALID_KEY)
     dup = ((k3 == west) | (k3 == north)) & (k3 != INVALID_KEY)
     k3 = jnp.where(dup, INVALID_KEY, k3)
+
+    # Per-pixel fold: rank-compact each pixel's surviving keys into the
+    # first `alloc_fold` step slots (pure elementwise — the allocator's
+    # downstream compaction scatters scale with STREAM LENGTH, so halving
+    # the stream halves them). The band crosses <= ~4 blocks for all but
+    # extreme grazing rays; a pixel with more survivors drops the excess
+    # for this frame — the same drop-and-retry semantics as a staging
+    # collision (online retries next frame, offline the fixpoint rounds).
+    fold = min(cfg.alloc_fold, cfg.alloc_steps)
+    if fold < cfg.alloc_steps:
+        k2 = k3.reshape(cfg.alloc_steps, h * w)
+        vmask = k2 != INVALID_KEY
+        rank = jnp.cumsum(vmask.astype(jnp.int32), axis=0) - 1   # [S,P]
+        out = []
+        for j in range(fold):
+            pick = vmask & (rank == j)
+            # INVALID_KEY (0x7FFFFFFF) is int32-max: min-select recovers
+            # the key when present, INVALID otherwise.
+            out.append(jnp.min(jnp.where(pick, k2, INVALID_KEY), axis=0))
+        return jnp.stack(out, axis=0).reshape(-1)   # [fold * P]
     return k3.reshape(-1)   # [alloc_steps * P]
 
 
