@@ -93,13 +93,51 @@ def frame_source(args, cfg):
         from voxelhashing_tpu.io.sensfile import SensChainReader, SensReader
         paths = path.split(",")
         r = SensChainReader(paths) if len(paths) > 1 else SensReader(paths[0])
+        hd = r.header
+        src_cam, need_cal = _sens_source_cam(hd, cam)
         n = min(len(r), args.frames) if args.frames else len(r)
         for i in range(n):
             d, c, p = r.read_frame(i)
+            if need_cal:
+                # calibration path: remap depth into color space and run
+                # the pipeline in the color camera (s_bUseCameraCalibration,
+                # CUDARGBDSensor.cpp:200-217)
+                from voxelhashing_tpu.ops.image import remap_depth_to_color
+                d = remap_depth_to_color(
+                    d, hd.calibration_depth.intrinsic,
+                    hd.calibration_color.intrinsic,
+                    hd.color_width, hd.color_height,
+                    hd.calibration_depth.extrinsic,
+                    hd.calibration_color.extrinsic)
+            d, c = _resample(d, c, src_cam, cam)
             yield d, c, p
     else:
         raise SystemExit(f"unknown input kind {kind!r} "
                          f"(use synthetic / tum:PATH / sens:PATH)")
+
+
+def _sens_source_cam(hd, base_cam):
+    """Source camera of a .sens file: the depth camera, or — when the
+    color/depth calibrations actually differ (s_bUseCameraCalibration
+    analog) — the color camera, into whose space the depth is remapped."""
+    import dataclasses
+    di = hd.calibration_depth.intrinsic
+    ci = hd.calibration_color.intrinsic
+    de = hd.calibration_depth.extrinsic
+    ce = hd.calibration_color.extrinsic
+    same_size = (hd.color_width, hd.color_height) == (hd.depth_width,
+                                                      hd.depth_height)
+    need_cal = not (same_size and np.allclose(di, ci, atol=1e-4)
+                    and np.allclose(de, ce, atol=1e-6))
+    if need_cal:
+        intr, w, h = ci, hd.color_width, hd.color_height
+    else:
+        intr, w, h = di, hd.depth_width, hd.depth_height
+    cam = dataclasses.replace(
+        base_cam, width=int(w), height=int(h),
+        fx=float(intr[0, 0]), fy=float(intr[1, 1]),
+        cx=float(intr[0, 2]), cy=float(intr[1, 2]))
+    return cam, need_cal
 
 
 def _resample(depth, color, src_cam, dst_cam):

@@ -70,12 +70,30 @@ def main():
 
     failures = 0
 
+    # ---- 0. bf16 limb split survives XLA:TPU simplification -----------
+    # (the naive x - bf16(x) folds to zero on real hardware; caught once,
+    # regression-gated forever)
+    from voxelhashing_tpu.ops.pallas_integrate import split_bf16_limbs
+    xs = jnp.asarray(np.linspace(0.1, 7.9, 1024, dtype=np.float32))
+    hi, lo = jax.jit(split_bf16_limbs)(xs)
+    rec = np.asarray(hi, np.float32) + np.asarray(lo, np.float32)
+    err = float(np.abs(rec - np.asarray(xs)).max())
+    nz = float(np.abs(np.asarray(lo, np.float32)).max())
+    ok0 = err < 1e-4 and nz > 1e-5
+    print(f"[{'PASS' if ok0 else 'FAIL'}] bf16 limb split: max recombine "
+          f"err {err:.2e}, max |lo| {nz:.2e} (0 = folded away)")
+    failures += not ok0
+
     # ---- 1. integrate: Pallas vs XLA ----------------------------------
-    ref = jax.jit(lambda s: integ.integrate(
-        s, depth, color, pose, cam, mp, active_idx=active_idx,
-        active_mask=active_mask))(state)
-    out = jax.jit(lambda s: integrate_pallas(
-        s, depth, color, pose, cam, mp, active_idx, n_active))(state)
+    # (every device array is an explicit jit argument — closure-captured
+    # arrays are baked into the HLO as constants, which both poisons
+    # dispatch and blows past the remote-compile payload limit)
+    ref = jax.jit(lambda s, d, c, p, ai, am: integ.integrate(
+        s, d, c, p, cam, mp, active_idx=ai, active_mask=am))(
+        state, depth, color, pose, active_idx, active_mask)
+    out = jax.jit(lambda s, d, c, p, ai, na: integrate_pallas(
+        s, d, c, p, cam, mp, ai, na))(
+        state, depth, color, pose, active_idx, n_active)
     w_ref = np.asarray(ref.weight)
     w_out = np.asarray(out.weight)
     w_mismatch = np.abs(w_out - w_ref) > 1e-3
@@ -99,12 +117,12 @@ def main():
     # ---- 2. splat z-buffer: Pallas (with_color=False path) vs XLA
     # scatter-min (the with_color=True path; raycast.py:287) -------------
     rc = cfg.raycast
-    m_pl = jax.jit(lambda: raycast.render_splat(
-        state, pose, cam, mp, rc, active_idx=active_idx,
-        active_mask=active_mask, with_color=False))()
-    m_xla = jax.jit(lambda: raycast.render_splat(
-        state, pose, cam, mp, rc, active_idx=active_idx,
-        active_mask=active_mask, with_color=True))()
+    m_pl = jax.jit(lambda s, p, ai, am: raycast.render_splat(
+        s, p, cam, mp, rc, active_idx=ai, active_mask=am,
+        with_color=False))(state, pose, active_idx, active_mask)
+    m_xla = jax.jit(lambda s, p, ai, am: raycast.render_splat(
+        s, p, cam, mp, rc, active_idx=ai, active_mask=am,
+        with_color=True))(state, pose, active_idx, active_mask)
     z_pl = np.asarray(m_pl.depth)
     z_xla = np.asarray(m_xla.depth)
     both = np.isfinite(z_pl) & np.isfinite(z_xla)
@@ -117,9 +135,9 @@ def main():
     failures += not ok2
 
     # ---- 3. splat vs march depth agreement -----------------------------
-    m_march = jax.jit(lambda: raycast.render_march(
-        state, pose, cam, mp, rc, active_idx=active_idx,
-        active_mask=active_mask))()
+    m_march = jax.jit(lambda s, p, ai, am: raycast.render_march(
+        s, p, cam, mp, rc, active_idx=ai, active_mask=am))(
+        state, pose, active_idx, active_mask)
     z_march = np.asarray(m_march.depth)
     both = np.isfinite(z_pl) & np.isfinite(z_march)
     dz = np.abs(z_pl[both] - z_march[both])

@@ -224,3 +224,72 @@ class TestNetworkSensor:
         assert c is None and p is None
         valid = np.isfinite(depths[0])
         np.testing.assert_allclose(d[valid], depths[0][valid], atol=1e-3)
+
+
+class TestColorCalibration:
+    """Depth -> color-space remap (CUDARGBDSensor.cpp:200-217 analog)."""
+
+    def _intr(self, fx, fy, cx, cy):
+        m = np.eye(4, dtype=np.float32)
+        m[0, 0], m[1, 1], m[0, 2], m[1, 2] = fx, fy, cx, cy
+        return m
+
+    def test_pure_translation_plane(self):
+        from voxelhashing_tpu.ops.image import remap_depth_to_color
+        h, w = 60, 80
+        depth = np.full((h, w), 2.0, np.float32)
+        di = self._intr(100.0, 100.0, 39.5, 29.5)
+        ci = self._intr(100.0, 100.0, 39.5, 29.5)
+        # color camera 4 cm to the right: x_color = x_depth - 0.04
+        ce = np.eye(4, dtype=np.float32)
+        ce[0, 3] = 0.04
+        out = remap_depth_to_color(depth, di, ci, w, h,
+                                   depth_extr=None, color_extr=ce)
+        # a fronto-parallel plane keeps its z under pure translation
+        mapped = np.isfinite(out)
+        assert mapped.mean() > 0.9
+        assert np.allclose(out[mapped], 2.0, atol=1e-4)
+        # the 0.04 m baseline at z=2 shifts the image by fx*0.04/2 = 2 px:
+        # the right edge of the color frame receives nothing
+        assert not np.isfinite(out[:, :1]).any() or \
+            not np.isfinite(out[:, -1:]).any()
+
+    def test_discontinuity_filtered(self):
+        from voxelhashing_tpu.ops.image import remap_depth_to_color
+        h, w = 40, 40
+        depth = np.full((h, w), 1.0, np.float32)
+        depth[:, 20:] = 3.0            # step edge
+        di = ci = self._intr(50.0, 50.0, 19.5, 19.5)
+        out = remap_depth_to_color(depth, di, ci, w, h)
+        # edge pixels (3x3 spread 2 m >> thresholds) are dropped before
+        # splatting, so no pixel can hold a smeared intermediate depth —
+        # the property the reference's stretched-triangle kill provides
+        assert np.allclose(out[:, :17][np.isfinite(out[:, :17])], 1.0,
+                           atol=1e-4)
+        assert np.allclose(out[:, 23:][np.isfinite(out[:, 23:])], 3.0,
+                           atol=1e-4)
+        fin = out[np.isfinite(out)]
+        assert not ((fin > 1.2) & (fin < 2.8)).any()
+
+    def test_sens_source_cam_gate(self, tmp_path):
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "run_slam_mod", "scripts/run_slam.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        from voxelhashing_tpu.config import CameraConfig
+        from voxelhashing_tpu.io.sensfile import (SensCalibration,
+                                                  SensHeader)
+        base = CameraConfig()
+        di = self._intr(525.0, 525.0, 319.5, 239.5)
+        same = SensHeader("x", SensCalibration(di, np.eye(4, dtype=np.float32)),
+                          SensCalibration(di, np.eye(4, dtype=np.float32)),
+                          0, 0, 640, 480, 640, 480, 1000.0, 1)
+        cam, need = mod._sens_source_cam(same, base)
+        assert not need and cam.width == 640 and abs(cam.fx - 525.0) < 1e-5
+        ci = self._intr(530.0, 530.0, 319.5, 239.5)
+        diff = SensHeader("x", SensCalibration(ci, np.eye(4, dtype=np.float32)),
+                          SensCalibration(di, np.eye(4, dtype=np.float32)),
+                          0, 0, 640, 480, 640, 480, 1000.0, 1)
+        cam, need = mod._sens_source_cam(diff, base)
+        assert need and abs(cam.fx - 530.0) < 1e-5

@@ -243,3 +243,78 @@ def preprocess(depth_raw, color_raw, cam: CameraConfig, flt: FilterConfig
     normals = geom.normals_from_points(points)
     return FrameInputs(depth=depth, points=points, normals=normals,
                        color=color, intensity=intensity)
+
+
+def remap_depth_to_color(depth, depth_intr, color_intr, color_width: int,
+                         color_height: int, depth_extr=None, color_extr=None,
+                         disc_offset: float = 0.03, disc_lin: float = 0.02):
+    """Depth -> color-camera-space remapping (host-side numpy, IO path).
+
+    The reference's camera-calibration path rasterizes the depth map as a
+    mesh into the color camera's viewpoint and continues the whole
+    pipeline in color space (``RenderDepthMap``,
+    /root/reference/DepthSensingCUDA/Source/CUDARGBDSensor.cpp:200-217,
+    with ``s_remappingDepthDiscontinuityThresOffset/Lin`` killing
+    stretched triangles at depth edges). TPU-side rasterization is not
+    worth a kernel for an IO-path fixup, so this re-derivation:
+
+    * drops depth pixels whose 3x3 neighborhood spread exceeds
+      ``disc_offset + disc_lin * z`` (the same discontinuity rule, applied
+      per-source-pixel instead of per-triangle),
+    * unprojects with the depth intrinsics, transforms by
+      ``inv(color_extr) @ depth_extr``, projects with the color
+      intrinsics,
+    * z-buffer scatters into the color grid with a 3x3 footprint (covers
+      the sampling-density gap a triangle raster would fill).
+
+    Returns f32[color_height, color_width] metres, NaN where nothing maps.
+    Downstream, an unmapped pixel behaves exactly like the reference's
+    MINF: integrate requires BOTH depth and color valid
+    (CUDASceneRepHashSDF.cu:443; merged validity in pallas_integrate).
+    """
+    import numpy as np
+
+    d = np.asarray(depth, np.float32)
+    h, w = d.shape
+    valid = np.isfinite(d) & (d > 0.0)
+
+    # discontinuity filter: 3x3 min/max spread
+    dpad = np.pad(np.where(valid, d, np.nan), 1, constant_values=np.nan)
+    win = np.lib.stride_tricks.sliding_window_view(dpad, (3, 3))
+    with np.errstate(invalid="ignore"):
+        spread = np.nanmax(win, axis=(2, 3)) - np.nanmin(win, axis=(2, 3))
+    keep = valid & (spread <= disc_offset + disc_lin * np.where(valid, d, 0))
+
+    fx_d, fy_d = depth_intr[0, 0], depth_intr[1, 1]
+    cx_d, cy_d = depth_intr[0, 2], depth_intr[1, 2]
+    u, v = np.meshgrid(np.arange(w, dtype=np.float32),
+                       np.arange(h, dtype=np.float32))
+    z = np.where(keep, d, np.nan)
+    x = (u - cx_d) / fx_d * z
+    y = (v - cy_d) / fy_d * z
+
+    t = np.eye(4, dtype=np.float64)
+    if depth_extr is not None:
+        t = t @ np.asarray(depth_extr, np.float64)
+    if color_extr is not None:
+        t = np.linalg.inv(np.asarray(color_extr, np.float64)) @ t
+    pts = np.stack([x.ravel(), y.ravel(), z.ravel()], axis=0)
+    q = t[:3, :3] @ pts + t[:3, 3:4]
+    qz = q[2]
+    ok = np.isfinite(qz) & (qz > 1e-6)
+    qz_s = np.where(ok, qz, 1.0)
+    uc = np.floor(color_intr[0, 0] * q[0] / qz_s + color_intr[0, 2]
+                  + 0.5).astype(np.int64)
+    vc = np.floor(color_intr[1, 1] * q[1] / qz_s + color_intr[1, 2]
+                  + 0.5).astype(np.int64)
+
+    out = np.full((color_height + 2, color_width + 2), np.inf, np.float32)
+    for dv in (-1, 0, 1):
+        for du in (-1, 0, 1):
+            ui = uc + 1 + du
+            vi = vc + 1 + dv
+            m = ok & (ui >= 0) & (ui < color_width + 2) \
+                & (vi >= 0) & (vi < color_height + 2)
+            np.minimum.at(out, (vi[m], ui[m]), qz[m].astype(np.float32))
+    res = out[1:-1, 1:-1]
+    return np.where(np.isfinite(res), res, np.nan)

@@ -72,6 +72,24 @@ def _lane_gather(x, idx):
                       mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)
 
 
+def split_bf16_limbs(x):
+    """f32 -> (hi bf16, lo bf16) with hi + lo == x to ~2^-17 relative.
+
+    MUST be done by bit masking: the naive ``lo = x - bf16(x)`` gets
+    algebraically simplified by XLA:TPU on real hardware (the upcast
+    convert folds into the subtract, which then cancels) and returns
+    lo == 0 — silently downgrading every "two-limb f32" to single bf16.
+    Caught by scripts/verify_tpu.py; keep this the only split used in
+    XLA-level code (in-kernel Mosaic splits are compiled differently and
+    verified separately).
+    """
+    u = lax.bitcast_convert_type(x, jnp.uint32)
+    hi_f32 = lax.bitcast_convert_type(u & np.uint32(0xFFFF0000),
+                                      jnp.float32)
+    # hi_f32's mantissa fits bf16 exactly -> conversion is lossless
+    return hi_f32.astype(jnp.bfloat16), (x - hi_f32).astype(jnp.bfloat16)
+
+
 # ---------------------------------------------------------------------------
 # Fused projection + patch-gather kernel
 # ---------------------------------------------------------------------------
@@ -145,6 +163,8 @@ def _make_kernel(cam: CameraConfig, cfg: MapConfig, wcols: int):
 
         # --- phase B: per-block patch pick (MXU one-hot + lane gather) ---
         for k in range(_BATCH_A):
+            # window origin scalars re-derived exactly like v0v/u0v (same
+            # min + clip chain) so slice and dv/du always agree
             vmin = jnp.min(vi_m[k:k + 1, :])
             umin = jnp.min(ui_m[k:k + 1, :])
             v0 = jnp.clip((vmin // 8) * 8, 0, h - _PATCH_ROWS)
@@ -287,8 +307,7 @@ def _prep_image(depth, color, cam: CameraConfig):
         cr = jnp.zeros((h, w)); cg = jnp.full((h, w), 255.0)
         cb = jnp.zeros((h, w))
     d = jnp.where(ok, depth, 0.0)
-    d_hi = d.astype(jnp.bfloat16)
-    d_lo = (d - d_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    d_hi, d_lo = split_bf16_limbs(d)
     z = jnp.zeros((h, w), jnp.bfloat16)
     chans = jnp.stack([d_hi, d_lo, cr.astype(jnp.bfloat16),
                        cg.astype(jnp.bfloat16), cb.astype(jnp.bfloat16),
