@@ -100,3 +100,54 @@ class TestSharded:
                         for d in range(8))
         assert int(blockmap.stats(merged, CFG.map)["n_allocated"]) \
             == n_sharded
+
+    def test_sharded_march_matches_merged(self, mesh):
+        """Distributed trilinear march (psum'd corner fetches) == the
+        single-device march on the merged map — the halo-free global
+        sampling path (SURVEY §7 phase 4)."""
+        from voxelhashing_tpu import raycast
+        state, lcfg, est, gt = run_sharded(mesh, 3)
+        render = sharded.make_sharded_render(CFG, mesh)
+        res_sh = render(state, est[-1])
+
+        merged = sharded.gather_map(state, lcfg, CFG.map)
+        view = jnp.asarray(est[-1], jnp.float32)
+        from voxelhashing_tpu import geometry as geom
+        ai, na, _ = blockmap.compactify(
+            merged, geom.invert_rigid(view), CAM, CFG.map)
+        am = jnp.arange(ai.shape[0]) < na
+        res_1 = raycast.render_march(merged, view, CAM, CFG.map,
+                                     CFG.raycast, active_idx=ai,
+                                     active_mask=am)
+        z_sh = np.asarray(res_sh.depth)
+        z_1 = np.asarray(res_1.depth)
+        cov_sh, cov_1 = np.isfinite(z_sh), np.isfinite(z_1)
+        assert cov_sh.sum() > 500
+        # identical coverage (modulo <0.5% boundary-secant flips)
+        assert (cov_sh ^ cov_1).mean() < 5e-3
+        both = cov_sh & cov_1
+        assert np.abs(z_sh[both] - z_1[both]).max() < 1e-4
+        # color agrees too (psum'd packed-color path)
+        c_err = np.abs(np.asarray(res_sh.color)[both]
+                       - np.asarray(res_1.color)[both])
+        assert c_err.max() < 2 / 255.0
+
+    def test_sharded_step_march_mode(self, mesh):
+        """The sharded STEP with rc.mode='march' tracks (distributed
+        trilinear model for ICP)."""
+        import dataclasses
+        global CFG
+        cfg_m = dataclasses.replace(
+            CFG, raycast=dataclasses.replace(CFG.raycast, mode="march"))
+        poses = make_trajectory(4)
+        step = sharded.make_sharded_step(cfg_m, mesh)
+        state, lcfg = sharded.create_sharded(cfg_m, mesh,
+                                             initial_pose=poses[0])
+        est = []
+        for p in poses:
+            d, c = render_depth(p, CAM, SCENE)
+            state, pose = step(state, jnp.asarray(np.nan_to_num(d, nan=0.0)),
+                               jnp.asarray(c))
+            est.append(np.asarray(pose))
+        ate = evaluation.ate_rmse(est, [np.asarray(p) for p in poses])
+        assert ate < 0.02, ate

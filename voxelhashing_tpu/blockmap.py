@@ -375,9 +375,16 @@ def gather_voxels(state: MapState, voxel_coords, cfg: MapConfig,
 
 
 def gather_voxels_soa(state: MapState, vx, vy, vz, cfg: MapConfig,
-                      with_color: bool = True):
+                      with_color: bool = True, axis_name=None):
     """SoA voxel fetch: integer voxel coord component arrays (any equal
-    shape) -> (sdf, weight, packed_color_u32 | None) of the same shape."""
+    shape) -> (sdf, weight, packed_color_u32 | None) of the same shape.
+
+    ``axis_name``: when the map is hash-partitioned over a device mesh
+    axis, each key resides on exactly ONE device, so a masked ``psum``
+    of the local fetches reconstructs the global sample — this is the
+    halo-free distributed trilinear access path (SURVEY §7 phase 4):
+    every device gets the same global values back.
+    """
     bs = SDF_BLOCK_SIZE
     bx = jnp.floor_divide(vx, bs)
     by = jnp.floor_divide(vy, bs)
@@ -395,8 +402,16 @@ def gather_voxels_soa(state: MapState, vx, vy, vz, cfg: MapConfig,
     sdf = jnp.where(found, state.sdf.reshape(-1)[lin], 0.0)
     w = jnp.where(found, state.weight.reshape(-1)[lin], 0.0)
     if not with_color:
+        if axis_name is not None:
+            sdf = jax.lax.psum(sdf, axis_name)
+            w = jax.lax.psum(w, axis_name)
         return sdf, w, None
     c = jnp.where(found, state.color.reshape(-1)[lin], 0)
+    if axis_name is not None:
+        sdf = jax.lax.psum(sdf, axis_name)
+        w = jax.lax.psum(w, axis_name)
+        # packed 24-bit colors are exact in f32; psum then re-cast
+        c = jax.lax.psum(c.astype(jnp.float32), axis_name).astype(jnp.uint32)
     return sdf, w, c
 
 

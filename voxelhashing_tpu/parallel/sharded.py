@@ -101,22 +101,36 @@ def make_sharded_step(cfg: EngineConfig, mesh: Mesh):
         mstate = jax.tree_util.tree_map(lambda x: x[0], mstate_b)
         frame = preprocess(depth, color, cam, cfg.filter)
 
-        # ---- raycast own blocks + pmin combine -------------------------
+        # ---- raycast own blocks + combine ------------------------------
         view = geom.invert_rigid(pose)
         active_idx, n_active, _ = blockmap.compactify(mstate, view, cam,
                                                       lcfg)
         active_mask = jnp.arange(active_idx.shape[0]) < n_active
-        model = raycast.render_splat(mstate, pose, cam, lcfg, cfg.raycast,
-                                     active_idx=active_idx,
-                                     active_mask=active_mask,
-                                     with_color=False)
-        zloc = jnp.where(jnp.isfinite(model.depth), model.depth, jnp.inf)
-        zglob = lax.pmin(zloc, AXIS)
-        gdepth = jnp.where(jnp.isfinite(zglob), zglob, jnp.nan)
-        u, v = geom.pixel_grid(cam.width, cam.height)
-        gpts = geom.screen_to_camera(u, v, gdepth, cam)
-        gpts = jnp.where(jnp.isfinite(gdepth)[..., None], gpts, jnp.nan)
-        gnrm = geom.normals_from_points(gpts)
+        if cfg.raycast.mode == "march":
+            # distributed trilinear march: every fetch is a masked psum
+            # over the hash partition (raycast.render_march axis_name) —
+            # all devices march the global surface; outputs replicated
+            gmodel = raycast.render_march(mstate, pose, cam, lcfg,
+                                          cfg.raycast,
+                                          active_idx=active_idx,
+                                          active_mask=active_mask,
+                                          axis_name=AXIS)
+            gpts, gnrm = gmodel.points, gmodel.normals
+        else:
+            # splat local blocks, one pmin combines the z-buffers
+            model = raycast.render_splat(mstate, pose, cam, lcfg,
+                                         cfg.raycast,
+                                         active_idx=active_idx,
+                                         active_mask=active_mask,
+                                         with_color=False)
+            zloc = jnp.where(jnp.isfinite(model.depth), model.depth,
+                             jnp.inf)
+            zglob = lax.pmin(zloc, AXIS)
+            gdepth = jnp.where(jnp.isfinite(zglob), zglob, jnp.nan)
+            u, v = geom.pixel_grid(cam.width, cam.height)
+            gpts = geom.screen_to_camera(u, v, gdepth, cam)
+            gpts = jnp.where(jnp.isfinite(gdepth)[..., None], gpts, jnp.nan)
+            gnrm = geom.normals_from_points(gpts)
 
         # ---- tracking: row-shard residuals + psum'd 6x6 system ---------
         me = lax.axis_index(AXIS)
@@ -175,6 +189,44 @@ def _track_distributed(in_p, in_n, md_p, md_n, last_pose,
     psum_sys = lambda t: tuple(lax.psum(x, AXIS) for x in t)  # noqa: E731
     return tracking.track(in_p, in_n, md_p, md_n, last_pose, cam, cfg,
                           reduce_fn=psum_sys)
+
+
+def make_sharded_render(cfg: EngineConfig, mesh: Mesh, with_color=True):
+    """jit-compiled distributed ``render_march`` over ``mesh``: the full
+    trilinear renderer (color included) against the hash-partitioned map,
+    with every corner fetch psum-combined — the render-mode / whole-scene
+    visualization path under sharding. Returns
+    ``fn(sharded_state, pose) -> RaycastResult`` (replicated outputs)."""
+    n_dev = mesh.devices.size
+    lcfg = local_map_config(cfg.map, n_dev)
+    cam = cfg.camera
+
+    def local_render(mstate_b, pose):
+        mstate = jax.tree_util.tree_map(lambda x: x[0], mstate_b)
+        view = geom.invert_rigid(pose)
+        active_idx, n_active, _ = blockmap.compactify(mstate, view, cam,
+                                                      lcfg)
+        active_mask = jnp.arange(active_idx.shape[0]) < n_active
+        res = raycast.render_march(mstate, pose, cam, lcfg, cfg.raycast,
+                                   active_idx=active_idx,
+                                   active_mask=active_mask, axis_name=AXIS)
+        return res.depth, res.points, res.normals, res.color
+
+    smapped = jax.shard_map(
+        local_render, mesh=mesh,
+        in_specs=(P(AXIS), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def render(state: ShardedState, pose):
+        d, p, n, c = smapped(state.map, jnp.asarray(pose, jnp.float32))
+        from ..raycast import RaycastResult
+        return RaycastResult(depth=d, points=p, normals=n, color=c,
+                             splat_overflow=jnp.int32(0))
+
+    return render
 
 
 def gather_map(state: ShardedState, lcfg: MapConfig, cfg: MapConfig

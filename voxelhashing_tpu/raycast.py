@@ -59,7 +59,7 @@ _CORNERS = np.array(_CORNER_LIST, np.int32)  # host constant (not a device array
 
 
 def trilinear_sample(state: MapState, p_world, cfg: MapConfig,
-                     with_color: bool = False):
+                     with_color: bool = False, axis_name=None):
     """Trilinearly interpolated (sdf, valid[, color]) at world points [...,3].
 
     Voxel samples sit at integer virtual-voxel coords (voxel*voxel_size);
@@ -71,7 +71,7 @@ def trilinear_sample(state: MapState, p_world, cfg: MapConfig,
     shape = p_world.shape[:-1]
     pw = p_world.reshape(-1, 3)
     out = trilinear_sample_soa(state, pw[:, 0], pw[:, 1], pw[:, 2], cfg,
-                               with_color=with_color)
+                               with_color=with_color, axis_name=axis_name)
     if with_color:
         s, valid, col = out
         return (s.reshape(shape), valid.reshape(shape),
@@ -81,8 +81,13 @@ def trilinear_sample(state: MapState, p_world, cfg: MapConfig,
 
 
 def trilinear_sample_soa(state: MapState, px, py, pz, cfg: MapConfig,
-                         with_color: bool = False):
-    """SoA core of :func:`trilinear_sample`: flat [K] coordinate arrays."""
+                         with_color: bool = False, axis_name=None):
+    """SoA core of :func:`trilinear_sample`: flat [K] coordinate arrays.
+
+    ``axis_name``: hash-partitioned map over a mesh axis — corner fetches
+    become masked psums (see :func:`blockmap.gather_voxels_soa`), so
+    trilinear cells spanning blocks owned by DIFFERENT devices still
+    interpolate correctly (no halo exchange needed)."""
     vs = cfg.voxel_size
     qx, qy, qz = px / vs, py / vs, pz / vs
     bx = jnp.floor(qx).astype(jnp.int32)
@@ -95,7 +100,8 @@ def trilinear_sample_soa(state: MapState, px, py, pz, cfg: MapConfig,
     cy = jnp.stack([by + o[1] for o in _CORNER_LIST], axis=0)
     cz = jnp.stack([bz + o[2] for o in _CORNER_LIST], axis=0)
     sdf, w, c = blockmap.gather_voxels_soa(state, cx, cy, cz, cfg,
-                                           with_color=with_color)  # [8,K]
+                                           with_color=with_color,
+                                           axis_name=axis_name)  # [8,K]
     valid = jnp.all(w > 0.0, axis=0)                  # [K]
 
     s = jnp.zeros(fx.shape, jnp.float32)
@@ -111,7 +117,8 @@ def trilinear_sample_soa(state: MapState, px, py, pz, cfg: MapConfig,
     return s, valid
 
 
-def sdf_gradient(state: MapState, p_world, cfg: MapConfig):
+def sdf_gradient(state: MapState, p_world, cfg: MapConfig,
+                 axis_name=None):
     """Central-difference SDF gradient (gradientForPoint,
     RayCastSDFUtil.h:173-195). Off by default like s_SDFUseGradients."""
     offs = cfg.voxel_size
@@ -119,8 +126,10 @@ def sdf_gradient(state: MapState, p_world, cfg: MapConfig):
     ok = None
     for ax in range(3):
         e = jnp.zeros((3,), jnp.float32).at[ax].set(offs)
-        sp, vp = trilinear_sample(state, p_world + e, cfg)
-        sm, vm = trilinear_sample(state, p_world - e, cfg)
+        sp, vp = trilinear_sample(state, p_world + e, cfg,
+                                  axis_name=axis_name)
+        sm, vm = trilinear_sample(state, p_world - e, cfg,
+                                  axis_name=axis_name)
         grads.append((sp - sm) * 0.5)
         v = vp & vm
         ok = v if ok is None else (ok & v)
@@ -428,10 +437,15 @@ def _local_offsets():
 
 
 def render_march(state: MapState, pose, cam: CameraConfig, cfg: MapConfig,
-                 rc: RaycastConfig, active_idx=None, active_mask=None
-                 ) -> RaycastResult:
+                 rc: RaycastConfig, active_idx=None, active_mask=None,
+                 axis_name=None) -> RaycastResult:
     """Reference-style raycast: batched trilinear marching (see module
     docstring). Gather-bound on TPU; the CPU-parity renderer.
+
+    ``axis_name``: run distributed over a hash-partitioned map on a mesh
+    axis — every trilinear fetch is a masked psum and the tile bounds are
+    pmin/pmax-combined, so all devices march the GLOBAL surface and
+    return identical (replicated) results.
     """
     h, w = cam.height, cam.width
     d = rc.derived(cfg)
@@ -458,6 +472,9 @@ def render_march(state: MapState, pose, cam: CameraConfig, cfg: MapConfig,
     if rc.splat_enabled and active_idx is not None:
         tmin_t, tmax_t = ray_interval_splat(
             state, active_idx, active_mask, view, cam, cfg, rc)
+        if axis_name is not None:
+            tmin_t = jax.lax.pmin(tmin_t, axis_name)
+            tmax_t = jax.lax.pmax(tmax_t, axis_name)
         tile = rc.splat_tile
         iy = (jnp.arange(h) // tile)
         ix = (jnp.arange(w) // tile)
@@ -485,7 +502,7 @@ def render_march(state: MapState, pose, cam: CameraConfig, cfg: MapConfig,
         state,
         ox_ + dwx[None, :] * ts,
         oy_ + dwy[None, :] * ts,
-        oz_ + dwz[None, :] * ts, cfg)                        # [S,P]
+        oz_ + dwz[None, :] * ts, cfg, axis_name=axis_name)   # [S,P]
     ok_s &= in_band
 
     # Crossing between consecutive samples (reference test :219-230).
@@ -506,7 +523,8 @@ def render_march(state: MapState, pose, cam: CameraConfig, cfg: MapConfig,
         alpha = jnp.where(jnp.abs(denom) > 1e-12, b_s0 / denom, 0.5)
         tm = b_t0 + alpha * (b_t1 - b_t0)
         sm, ok = trilinear_sample_soa(
-            state, ox_ + dwx * tm, oy_ + dwy * tm, oz_ + dwz * tm, cfg)
+            state, ox_ + dwx * tm, oy_ + dwy * tm, oz_ + dwz * tm, cfg,
+            axis_name=axis_name)
         neg = ok & (sm < 0.0)
         pos = ok & (sm >= 0.0)
         b_t1 = jnp.where(neg, tm, b_t1)
@@ -520,7 +538,8 @@ def render_march(state: MapState, pose, cam: CameraConfig, cfg: MapConfig,
     # Final validity: interpolated |sdf| below threshold (reference :227-230).
     hx, hy, hz = ox_ + dwx * t_hit, oy_ + dwy * t_hit, oz_ + dwz * t_hit
     s_hit, ok_hit, col = trilinear_sample_soa(state, hx, hy, hz, cfg,
-                                              with_color=True)
+                                              with_color=True,
+                                              axis_name=axis_name)
     p_hit = jnp.stack([hx, hy, hz], axis=-1)
     found &= ok_hit & (jnp.abs(s_hit) < thres_dist)
 
@@ -530,7 +549,7 @@ def render_march(state: MapState, pose, cam: CameraConfig, cfg: MapConfig,
     color = jnp.where(found[:, None], col, 0.0).reshape(h, w, 3)
 
     if rc.use_gradients:
-        g, gok = sdf_gradient(state, p_hit, cfg)
+        g, gok = sdf_gradient(state, p_hit, cfg, axis_name=axis_name)
         n_world = jnp.where((found & gok)[:, None], g, jnp.nan)
         normals = geom.rotate_vectors(view, n_world).reshape(h, w, 3)
     else:
