@@ -424,8 +424,12 @@ def track(input_points, input_normals, model_points, model_normals,
         lvl_corr = jnp.int32(0)
         lvl_w = jnp.float32(0.0)
         curve = []
-        for _ in range(cfg.max_outer_iter[level]):
-            # Outer iteration: re-associate at the current delta.
+
+        def outer_iter(carry):
+            """One outer iteration (associate + inner GN solves)."""
+            (delta, lost, residual, corr, condition,
+             lvl_res, lvl_cond, lvl_corr, lvl_w, done, last_res) = carry
+            cvals = []
             q, nq, wgt, ok = _associate(
                 delta, in_soa, md8, cam_l,
                 cfg.dist_thres[level], cfg.normal_thres[level],
@@ -451,7 +455,7 @@ def track(input_points, input_normals, model_points, model_normals,
                     < cfg.residual_early_out[level]
                 last_res = mean_res
                 # convergence curve: residual while the level still runs
-                curve.append(jnp.where(done, jnp.nan, mean_res))
+                cvals.append(jnp.where(done, jnp.nan, mean_res))
 
                 x, cond, degen = _solve6(a, b, cfg.cond_thres)
                 # Step gate in physical units: rotation angle, and motion
@@ -476,6 +480,31 @@ def track(input_points, input_normals, model_points, model_normals,
                 lvl_corr = jnp.where(use | done, count, lvl_corr)
                 lvl_w = jnp.where(use | done, sum_w, lvl_w)
                 done |= bad
+            return ((delta, lost, residual, corr, condition, lvl_res,
+                     lvl_cond, lvl_corr, lvl_w, done, last_res),
+                    jnp.stack(cvals))
+
+        def skip_iter(carry):
+            # converged/bad level: all outputs carry through unchanged
+            # (identical to what the masked body would produce)
+            return carry, jnp.full((cfg.max_inner_iter[level],), jnp.nan)
+
+        carry = (delta, lost, residual, corr, condition,
+                 lvl_res, lvl_cond, lvl_corr, lvl_w, done, last_res)
+        for _ in range(cfg.max_outer_iter[level]):
+            if reduce_fn is None:
+                # single-device: skip the whole iteration once `done` —
+                # the masked updates above are provably no-ops then, and
+                # a converged level saves its associate+solve cost.
+                carry, cvals = jax.lax.cond(carry[9], skip_iter, outer_iter,
+                                            carry)
+            else:
+                # distributed: collectives must run on every device in
+                # lockstep — keep the masked (always-execute) form
+                carry, cvals = outer_iter(carry)
+            curve.extend(cvals[i] for i in range(cvals.shape[0]))
+        (delta, lost, residual, corr, condition, lvl_res, lvl_cond,
+         lvl_corr, lvl_w, done, last_res) = carry
         level_stats[level] = jnp.stack(
             [lvl_res, lvl_cond, lvl_corr.astype(jnp.float32), lvl_w])
         curves[level] = jnp.stack(
