@@ -173,7 +173,10 @@ class TestDeleteRehash:
         # dirty the survivors so shadowing would be observable
         survivors = keys[~np.asarray(kill)]
         sidx, _ = blockmap.lookup(state, jnp.asarray(survivors), SMALL)
-        state = state._replace(weight=state.weight.at[sidx].add(5.0))
+        state = state._replace(weight=state.weight.at[sidx].add(5.0),
+                               # direct array pokes must keep the surface
+                               # flags consistent (integrate/insert do)
+                               surf=state.surf.at[sidx].set(True))
 
         state, n = blockmap.allocate(state, jnp.asarray(keys), SMALL)
         state, n2 = blockmap.allocate(state, jnp.asarray(keys), SMALL)

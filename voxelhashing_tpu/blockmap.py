@@ -50,6 +50,12 @@ class MapState(NamedTuple):
     sdf: jax.Array         # f32[N,512] truncated signed distance
     weight: jax.Array      # f32[N,512] integration weight (0 = empty voxel)
     color: jax.Array       # u32[N,512] packed 0x00RRGGBB
+    # bool[N]: block holds a surface-band voxel (w>0 and |sdf|<voxel) — the
+    # PERSISTENT surface list: maintained by integrate (which rewrites
+    # every active voxel anyway) / insert / delete, read by the splat cull
+    # instead of re-scanning all active rows per frame. May be stale-TRUE
+    # after starvation (harmless: the cull only over-includes).
+    surf: jax.Array
     n_tombstones: jax.Array  # int32[]  tombstone count (rehash trigger)
 
 
@@ -80,6 +86,7 @@ def create(cfg: MapConfig) -> MapState:
         sdf=jnp.zeros((n, VOXELS_PER_BLOCK), jnp.float32),
         weight=jnp.zeros((n, VOXELS_PER_BLOCK), jnp.float32),
         color=jnp.zeros((n, VOXELS_PER_BLOCK), jnp.uint32),
+        surf=jnp.zeros((n,), bool),
         n_tombstones=jnp.int32(0),
     )
 
@@ -448,9 +455,10 @@ def delete_blocks(state: MapState, pool_indices, delete_mask,
     weight = state.weight.at[safe_idx].set(zero_v, mode="drop")
     color = state.color.at[safe_idx].set(
         jnp.zeros((VOXELS_PER_BLOCK,), jnp.uint32), mode="drop")
+    surf = state.surf.at[safe_idx].set(False, mode="drop")
     return state._replace(table_key=table_key, table_val=state.table_val,
                           block_key=block_key, sdf=sdf, weight=weight,
-                          color=color,
+                          color=color, surf=surf,
                           n_tombstones=state.n_tombstones + n_deleted)
 
 
@@ -537,6 +545,15 @@ def check_invariants(state: MapState, cfg: MapConfig) -> dict:
     # 5. Free slots hold zero voxels (allocation precondition).
     free = block_key == inv_key
     nonzero_free = int(np.sum(np.asarray(state.weight)[free].sum(axis=-1) > 0))
+    # 6. Surface flags: never set on free slots, and never stale-FALSE on
+    #    a block that actually holds surface voxels (stale-TRUE after
+    #    starvation is allowed — the splat cull only over-includes).
+    surf = np.asarray(state.surf)
+    surf_on_free = int(np.sum(surf & free))
+    w = np.asarray(state.weight)
+    s = np.asarray(state.sdf)
+    true_surf = np.any((w > 0) & (np.abs(s) < cfg.voxel_size), axis=1)
+    surf_missing = int(np.sum(true_surf & ~surf & ~free))
 
     return {
         "duplicate_table_vals": dup_vals,
@@ -544,4 +561,6 @@ def check_invariants(state: MapState, cfg: MapConfig) -> dict:
         "table_pool_mismatch": mismatch,
         "unreachable_blocks": unreachable,
         "nonzero_free_voxels": nonzero_free,
+        "surf_flag_on_free": surf_on_free,
+        "surf_flag_missing": surf_missing,
     }

@@ -323,11 +323,17 @@ def integrate(state: MapState, depth, color, pose, cam: CameraConfig,
     out_w = jnp.where(update, fused_w, old_w)
     out_c = jnp.where(update, fused_c, old_c)
 
+    # persistent surface flags (read by the splat cull): recomputed for
+    # every integrated block from its fused rows
+    out_surf = jnp.any((out_w > 0.0)
+                       & (jnp.abs(out_sdf) < cfg.voxel_size), axis=1)
+
     safe_idx = jnp.where(active_mask, active_idx, cfg.num_blocks)
     return state._replace(
         sdf=state.sdf.at[safe_idx].set(out_sdf, mode="drop"),
         weight=state.weight.at[safe_idx].set(out_w, mode="drop"),
         color=state.color.at[safe_idx].set(out_c, mode="drop"),
+        surf=state.surf.at[safe_idx].set(out_surf, mode="drop"),
     )
 
 

@@ -104,8 +104,10 @@ def _make_kernel(cam: CameraConfig, cfg: MapConfig, wcols: int):
     iws = cfg.integration_weight_sample
     wcap = cfg.integration_weight_max
 
+    vsz = cfg.voxel_size
+
     def kernel(nact_ref, img_ref, pb_ref, a_ref, osdf_ref, ow_ref, oc_ref,
-               nsdf_ref, nw_ref, nc_ref, dsc, rsc, gsc, bsc):
+               nsdf_ref, nw_ref, nc_ref, nsurf_ref, dsc, rsc, gsc, bsc):
         # Compacted active lists are packed: every block of this batch is
         # past n_active -> skip the whole body (out rows are garbage but
         # the fusion scatter drops rows >= n_active via safe_idx).
@@ -114,10 +116,12 @@ def _make_kernel(cam: CameraConfig, cfg: MapConfig, wcols: int):
         @pl.when(i * _BATCH_A < nact_ref[0])
         def _body():
             _kernel_body(img_ref, pb_ref, a_ref, osdf_ref, ow_ref, oc_ref,
-                         nsdf_ref, nw_ref, nc_ref, dsc, rsc, gsc, bsc)
+                         nsdf_ref, nw_ref, nc_ref, nsurf_ref,
+                         dsc, rsc, gsc, bsc)
 
     def _kernel_body(img_ref, pb_ref, a_ref, osdf_ref, ow_ref, oc_ref,
-                     nsdf_ref, nw_ref, nc_ref, dsc, rsc, gsc, bsc):
+                     nsdf_ref, nw_ref, nc_ref, nsurf_ref,
+                     dsc, rsc, gsc, bsc):
         # Layout discipline: everything that CAN be phrased per-batch runs
         # on [B,512] full-vreg tiles (a [1,512] op wastes 7/8 of every
         # vreg's sublanes); only the patch slice, one-hot matmul and
@@ -226,9 +230,15 @@ def _make_kernel(cam: CameraConfig, cfg: MapConfig, wcols: int):
                | (f_g.astype(jnp.int32) << 8)
                | f_b.astype(jnp.int32))
 
-        nsdf_ref[:, :] = jnp.where(update, f_sdf, osdf)
-        nw_ref[:, :] = jnp.where(update, f_w, ow)
+        new_sdf = jnp.where(update, f_sdf, osdf)
+        new_w = jnp.where(update, f_w, ow)
+        nsdf_ref[:, :] = new_sdf
+        nw_ref[:, :] = new_w
         nc_ref[:, :] = jnp.where(update, f_c, oc)
+        # persistent surface flag per block (splat cull input)
+        nsurf_ref[:, :] = jnp.any(
+            (new_w > 0.0) & (jnp.abs(new_sdf) < vsz),
+            axis=1, keepdims=True).astype(jnp.float32)
 
     return kernel
 
@@ -268,20 +278,23 @@ def _run_fused(img, pb, aff, old_sdf, old_w, old_c, g, cam, cfg,
                          memory_space=pltpu.VMEM),        # affine table
             row_spec, row_spec, row_spec,                 # old rows
         ],
-        out_specs=[row_spec, row_spec, row_spec],
+        out_specs=[row_spec, row_spec, row_spec,
+                   pl.BlockSpec((_BATCH_A, 1), lambda i, n: (i, 0),
+                                memory_space=pltpu.VMEM)],
         scratch_shapes=[pltpu.VMEM((_BATCH_A, VOXELS_PER_BLOCK),
                                    jnp.float32) for _ in range(4)],
     )
     vshape = (gp, VOXELS_PER_BLOCK)
-    nsdf, nw, nc = pl.pallas_call(
+    nsdf, nw, nc, nsurf = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(vshape, jnp.float32),
                    jax.ShapeDtypeStruct(vshape, jnp.float32),
-                   jax.ShapeDtypeStruct(vshape, jnp.int32)],
+                   jax.ShapeDtypeStruct(vshape, jnp.int32),
+                   jax.ShapeDtypeStruct((gp, 1), jnp.float32)],
         interpret=interpret,
     )(nact, img, pb, aff, old_sdf, old_w, old_c)
-    return nsdf[:g], nw[:g], nc[:g]
+    return nsdf[:g], nw[:g], nc[:g], nsurf[:g, 0] > 0.5
 
 
 # ---------------------------------------------------------------------------
@@ -361,7 +374,7 @@ def integrate_pallas(state: MapState, depth, color, pose,
     old_sdf = state.sdf[active_idx]                         # row gathers
     old_w = state.weight[active_idx]
     old_c = lax.bitcast_convert_type(state.color[active_idx], jnp.int32)
-    out_sdf, out_w, out_c_i = _run_fused(
+    out_sdf, out_w, out_c_i, out_surf = _run_fused(
         img, pb, aff, old_sdf, old_w, old_c, g, cam, cfg, interpret,
         n_active=n_active)                                  # [G,512]
     out_c = lax.bitcast_convert_type(out_c_i, jnp.uint32)
@@ -371,4 +384,5 @@ def integrate_pallas(state: MapState, depth, color, pose,
     return state._replace(
         sdf=state.sdf.at[safe_idx].set(out_sdf, mode="drop"),
         weight=state.weight.at[safe_idx].set(out_w, mode="drop"),
-        color=state.color.at[safe_idx].set(out_c, mode="drop"))
+        color=state.color.at[safe_idx].set(out_c, mode="drop"),
+        surf=state.surf.at[safe_idx].set(out_surf, mode="drop"))

@@ -274,10 +274,10 @@ def render_splat(state: MapState, pose, cam: CameraConfig, cfg: MapConfig,
     # expensive projection+scatter phases run only on those (static cap =
     # half the active list). If the cull overflows (surface-dense view),
     # fall back to splatting the FULL active list — slower, never lossy.
-    sdf_all = state.sdf[active_idx]                           # [M,512] rows
-    wgt_all = state.weight[active_idx]
-    surf_rows = (wgt_all > 0.0) & (jnp.abs(sdf_all) < vs)
-    has_surf = jnp.any(surf_rows, axis=1) & active_mask
+    # The PERSISTENT surface flags (maintained by integrate/insert/delete,
+    # possibly stale-True after starvation — over-inclusion only) replace
+    # the per-frame full-row scan of every active block.
+    has_surf = state.surf[active_idx] & active_mask
     m_full = active_idx.shape[0]
     m2 = m_full // 2
     rank = jnp.cumsum(has_surf.astype(jnp.int32)) - 1
@@ -307,13 +307,17 @@ def render_splat(state: MapState, pose, cam: CameraConfig, cfg: MapConfig,
         return zb, cb, jnp.int32(0)
 
     def splat_culled(_):
-        # packed rows: the kernel skips grid steps past n_surf
-        return _zfun(sdf_all[sel], wgt_all[sel], active_idx[sel], sel_mask,
-                     n_surf)
+        # packed rows: voxel rows gathered only for the culled selection;
+        # the kernel skips grid steps past n_surf
+        sel_a = active_idx[sel]
+        return _zfun(state.sdf[sel_a], state.weight[sel_a], sel_a,
+                     sel_mask, n_surf)
 
     def splat_full(_):
-        # overflow fallback: rows NOT packed (has_surf scattered) -> no skip
-        return _zfun(sdf_all, wgt_all, active_idx, has_surf, None)
+        # overflow fallback: rows NOT packed (has_surf scattered) -> no
+        # skip; full-row gather only happens inside this (rare) branch
+        return _zfun(state.sdf[active_idx], state.weight[active_idx],
+                     active_idx, has_surf, None)
 
     zbuf, colbuf, n_clipped = jax.lax.cond(overflow > 0, splat_full,
                                            splat_culled, operand=None)

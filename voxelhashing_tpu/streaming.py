@@ -117,14 +117,20 @@ def insert_blocks(state: MapState, keys, sdf, weight, color,
     exhaustion or a full pool, and the caller must re-file unplaced blocks
     (the reference throws on staging overflow, ChunkGrid.cpp:82,289-291 —
     here the contract is: never silently drop a streamed-in payload)."""
-    state, n_ins = blockmap.allocate(state, keys, cfg, rounds=2)
+    # enough alloc rounds that a batch larger than the per-round insert
+    # cap (e.g. a whole-checkpoint load) still places every key
+    rounds = max(2, -(-int(keys.shape[0]) // cfg.alloc_insert_cap) + 1)
+    state, n_ins = blockmap.allocate(state, keys, cfg, rounds=rounds)
     pool_idx, found = blockmap.lookup(state, keys, cfg)
     ok = found & (keys != INVALID_KEY)
     safe = jnp.where(ok, pool_idx, cfg.num_blocks)
+    surf = jnp.any((weight > 0.0)
+                   & (jnp.abs(sdf) < cfg.voxel_size), axis=1)
     return state._replace(
         sdf=state.sdf.at[safe].set(sdf, mode="drop"),
         weight=state.weight.at[safe].set(weight, mode="drop"),
         color=state.color.at[safe].set(color, mode="drop"),
+        surf=state.surf.at[safe].set(surf, mode="drop"),
     ), n_ins, ok
 
 
