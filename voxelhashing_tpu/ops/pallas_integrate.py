@@ -158,8 +158,16 @@ def _make_kernel(cam: CameraConfig, cfg: MapConfig, wcols: int):
         rowidx = jnp.where(ok, _PATCH_ROWS * (du >> 7) + dv,
                            jnp.int32(2 * _ROWS_FOLD))     # [B,512]
         lane = jnp.where(ok, du & (_LANE - 1), 0)
-        lane_t = jnp.transpose(lane, (1, 0))              # [512,B] (one
-        # batched transpose instead of B per-block [1,512] transposes)
+        # [B,512] -> [512,B] via an MXU identity matmul: Mosaic lowers a
+        # jnp.transpose of this shape to a sublane relayout costing ~6 ms/
+        # frame; the dot is exact for lane values < 256 (bf16-exact ints)
+        eyeb = (lax.broadcasted_iota(jnp.int32, (_BATCH_A, _BATCH_A), 0)
+                == lax.broadcasted_iota(jnp.int32, (_BATCH_A, _BATCH_A), 1)
+                ).astype(jnp.bfloat16)
+        lane_t = lax.dot_general(lane.astype(jnp.bfloat16), eyeb,
+                                 (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32
+                                 ).astype(jnp.int32)      # [512,B]
 
         riota = lax.broadcasted_iota(jnp.int32, (_ROWS_FOLD, 1), 0)
         lane8 = lax.broadcasted_iota(
