@@ -68,8 +68,13 @@ def run(variant):
         raycast.render = fake_render
     elif variant == "no_integrate":
         from voxelhashing_tpu.ops import pallas_integrate as pi
-        pi.integrate_pallas = (
-            lambda state, d, c, pose, cam_, mp_, ai, na, **kw: state)
+
+        def fake_ip(state, d, c, pose, cam_, mp_, ai, na, **kw):
+            if kw.get("return_gc_stats"):
+                z = jnp.zeros((ai.shape[0],), jnp.float32)
+                return state, (z + jnp.inf, z)
+            return state
+        pi.integrate_pallas = fake_ip
         integ.integrate = (
             lambda state, d, c, pose, cam_, mp_, **kw: state)
     elif variant == "no_alloc":

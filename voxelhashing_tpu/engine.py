@@ -111,10 +111,12 @@ def _integrate_frame(state: MapState, frame: FrameInputs, pose,
     view = geom.invert_rigid(pose)
     active_idx, n_active, overflow = blockmap.compactify(state, view, cam, mp)
     active_mask = jnp.arange(active_idx.shape[0]) < n_active
+    gc_stats = None
     if jax.default_backend() == "tpu" and not mp.bilinear_color:
         from .ops.pallas_integrate import integrate_pallas
-        state = integrate_pallas(state, frame.depth, frame.color, pose,
-                                 cam, mp, active_idx, n_active)
+        state, gc_stats = integrate_pallas(state, frame.depth, frame.color,
+                                           pose, cam, mp, active_idx,
+                                           n_active, return_gc_stats=True)
     else:
         state = integ.integrate(state, frame.depth, frame.color, pose, cam,
                                 mp, active_idx=active_idx,
@@ -122,12 +124,21 @@ def _integrate_frame(state: MapState, frame: FrameInputs, pose,
     if mp.gc_enabled:
         # Reference cadence (CUDASceneRepHashSDF.h:64-83,327-333): starve
         # every `gc_starve_interval` frames, identify+free EVERY frame.
-        state = jax.lax.cond(
-            (frame_idx > 0)
-            & (jnp.mod(frame_idx, mp.gc_starve_interval) == 0),
-            lambda s: integ.starve(s, active_idx, active_mask),
-            lambda s: s, state)
-        state = integ.garbage_collect(state, active_idx, active_mask, mp)
+        # Non-starve frames reuse the integrate kernel's per-block stats
+        # (rows unchanged since); starve frames invalidate them and take
+        # the row-reading path.
+        is_starve = (frame_idx > 0) \
+            & (jnp.mod(frame_idx, mp.gc_starve_interval) == 0)
+
+        def starve_then_gc(s):
+            s = integ.starve(s, active_idx, active_mask)
+            return integ.garbage_collect(s, active_idx, active_mask, mp)
+
+        def gc_only(s):
+            return integ.garbage_collect(s, active_idx, active_mask, mp,
+                                         cached_stats=gc_stats)
+
+        state = jax.lax.cond(is_starve, starve_then_gc, gc_only, state)
     state = blockmap.maybe_rehash(state, mp)
     return state, active_idx, active_mask, n_active, overflow, alloc_missed
 

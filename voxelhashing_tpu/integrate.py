@@ -418,7 +418,7 @@ def starve(state: MapState, active_idx, active_mask) -> MapState:
 
 
 def garbage_collect(state: MapState, active_idx, active_mask,
-                    cfg: MapConfig) -> MapState:
+                    cfg: MapConfig, cached_stats=None) -> MapState:
     """Cull active blocks that are all-far or all-starved.
 
     garbageCollectIdentifyKernel (:543-590): flag a block when
@@ -426,13 +426,21 @@ def garbage_collect(state: MapState, active_idx, active_mask,
     (min/max over the 512 voxels, ignoring zero-weight voxels for the sdf
     min, which the reference achieves by giving them PINF). Flagged blocks
     are freed and zeroed (garbageCollectFreeKernel :608-628).
+
+    ``cached_stats``: optional (min_abs_sdf [G], max_weight [G]) already
+    computed over the CURRENT rows (the integrate kernel emits them while
+    rows are in registers) — skips this function's 134 MB row re-read.
+    The caller must not pass stale stats (e.g. after starvation).
     """
-    sdf = state.sdf[active_idx]
-    w = state.weight[active_idx]
-    inf = jnp.float32(jnp.inf)
-    abs_sdf = jnp.where(w > 0.0, jnp.abs(sdf), inf)
-    min_sdf = jnp.min(abs_sdf, axis=-1)
-    max_w = jnp.max(w, axis=-1)
+    if cached_stats is not None:
+        min_sdf, max_w = cached_stats
+    else:
+        sdf = state.sdf[active_idx]
+        w = state.weight[active_idx]
+        inf = jnp.float32(jnp.inf)
+        abs_sdf = jnp.where(w > 0.0, jnp.abs(sdf), inf)
+        min_sdf = jnp.min(abs_sdf, axis=-1)
+        max_w = jnp.max(w, axis=-1)
     t = cfg.truncation_at(cfg.max_integration_distance)
     cull = active_mask & ((min_sdf >= t) | (max_w == 0.0))
     # The free pass (table tombstoning + row zeroing) is skipped entirely

@@ -107,7 +107,7 @@ def _make_kernel(cam: CameraConfig, cfg: MapConfig, wcols: int):
     vsz = cfg.voxel_size
 
     def kernel(nact_ref, img_ref, pb_ref, a_ref, osdf_ref, ow_ref, oc_ref,
-               nsdf_ref, nw_ref, nc_ref, nsurf_ref, dsc, rsc, gsc, bsc):
+               nsdf_ref, nw_ref, nc_ref, nstat_ref, dsc, rsc, gsc, bsc):
         # Compacted active lists are packed: every block of this batch is
         # past n_active -> skip the whole body (out rows are garbage but
         # the fusion scatter drops rows >= n_active via safe_idx).
@@ -116,11 +116,11 @@ def _make_kernel(cam: CameraConfig, cfg: MapConfig, wcols: int):
         @pl.when(i * _BATCH_A < nact_ref[0])
         def _body():
             _kernel_body(img_ref, pb_ref, a_ref, osdf_ref, ow_ref, oc_ref,
-                         nsdf_ref, nw_ref, nc_ref, nsurf_ref,
+                         nsdf_ref, nw_ref, nc_ref, nstat_ref,
                          dsc, rsc, gsc, bsc)
 
     def _kernel_body(img_ref, pb_ref, a_ref, osdf_ref, ow_ref, oc_ref,
-                     nsdf_ref, nw_ref, nc_ref, nsurf_ref,
+                     nsdf_ref, nw_ref, nc_ref, nstat_ref,
                      dsc, rsc, gsc, bsc):
         # Layout discipline: everything that CAN be phrased per-batch runs
         # on [B,512] full-vreg tiles (a [1,512] op wastes 7/8 of every
@@ -243,10 +243,17 @@ def _make_kernel(cam: CameraConfig, cfg: MapConfig, wcols: int):
         nsdf_ref[:, :] = new_sdf
         nw_ref[:, :] = new_w
         nc_ref[:, :] = jnp.where(update, f_c, oc)
-        # persistent surface flag per block (splat cull input)
-        nsurf_ref[:, :] = jnp.any(
-            (new_w > 0.0) & (jnp.abs(new_sdf) < vsz),
-            axis=1, keepdims=True).astype(jnp.float32)
+        # per-block stats while rows are in registers: surface flag (splat
+        # cull input), min |sdf| over weighted voxels and max weight (the
+        # garbageCollectIdentify inputs — saves GC's 134 MB row re-read)
+        abs_s = jnp.abs(new_sdf)
+        sflag = jnp.any((new_w > 0.0) & (abs_s < vsz),
+                        axis=1, keepdims=True).astype(jnp.float32)
+        min_s = jnp.min(jnp.where(new_w > 0.0, abs_s, jnp.inf),
+                        axis=1, keepdims=True)
+        max_w = jnp.max(new_w, axis=1, keepdims=True)
+        nstat_ref[:, :] = jnp.concatenate(
+            [sflag, min_s, max_w, jnp.zeros_like(sflag)], axis=1)
 
     return kernel
 
@@ -287,22 +294,22 @@ def _run_fused(img, pb, aff, old_sdf, old_w, old_c, g, cam, cfg,
             row_spec, row_spec, row_spec,                 # old rows
         ],
         out_specs=[row_spec, row_spec, row_spec,
-                   pl.BlockSpec((_BATCH_A, 1), lambda i, n: (i, 0),
+                   pl.BlockSpec((_BATCH_A, 4), lambda i, n: (i, 0),
                                 memory_space=pltpu.VMEM)],
         scratch_shapes=[pltpu.VMEM((_BATCH_A, VOXELS_PER_BLOCK),
                                    jnp.float32) for _ in range(4)],
     )
     vshape = (gp, VOXELS_PER_BLOCK)
-    nsdf, nw, nc, nsurf = pl.pallas_call(
+    nsdf, nw, nc, nstat = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(vshape, jnp.float32),
                    jax.ShapeDtypeStruct(vshape, jnp.float32),
                    jax.ShapeDtypeStruct(vshape, jnp.int32),
-                   jax.ShapeDtypeStruct((gp, 1), jnp.float32)],
+                   jax.ShapeDtypeStruct((gp, 4), jnp.float32)],
         interpret=interpret,
     )(nact, img, pb, aff, old_sdf, old_w, old_c)
-    return nsdf[:g], nw[:g], nc[:g], nsurf[:g, 0] > 0.5
+    return nsdf[:g], nw[:g], nc[:g], nstat[:g]
 
 
 # ---------------------------------------------------------------------------
@@ -340,11 +347,15 @@ def _prep_image(depth, color, cam: CameraConfig):
 
 def integrate_pallas(state: MapState, depth, color, pose,
                      cam: CameraConfig, cfg: MapConfig,
-                     active_idx, n_active, interpret: bool = False
-                     ) -> MapState:
+                     active_idx, n_active, interpret: bool = False,
+                     return_gc_stats: bool = False):
     """Drop-in replacement for :func:`voxelhashing_tpu.integrate.integrate`
     (Pallas TPU path). ``active_idx`` is the compacted in-frustum block
-    list (padded), ``n_active`` its true length."""
+    list (padded), ``n_active`` its true length.
+
+    ``return_gc_stats``: also return (min_abs_sdf [G], max_weight [G]) of
+    the freshly fused rows — the garbageCollectIdentify inputs, computed
+    while rows are in kernel registers so GC skips its row re-read."""
     g = active_idx.shape[0]
     n = cfg.num_blocks
     vs = cfg.voxel_size
@@ -382,15 +393,19 @@ def integrate_pallas(state: MapState, depth, color, pose,
     old_sdf = state.sdf[active_idx]                         # row gathers
     old_w = state.weight[active_idx]
     old_c = lax.bitcast_convert_type(state.color[active_idx], jnp.int32)
-    out_sdf, out_w, out_c_i, out_surf = _run_fused(
+    out_sdf, out_w, out_c_i, out_stat = _run_fused(
         img, pb, aff, old_sdf, old_w, old_c, g, cam, cfg, interpret,
         n_active=n_active)                                  # [G,512]
     out_c = lax.bitcast_convert_type(out_c_i, jnp.uint32)
+    out_surf = out_stat[:, 0] > 0.5
 
     safe_idx = jnp.where(is_real, active_idx.astype(jnp.int32),
                          jnp.int32(n))
-    return state._replace(
+    new_state = state._replace(
         sdf=state.sdf.at[safe_idx].set(out_sdf, mode="drop"),
         weight=state.weight.at[safe_idx].set(out_w, mode="drop"),
         color=state.color.at[safe_idx].set(out_c, mode="drop"),
         surf=state.surf.at[safe_idx].set(out_surf, mode="drop"))
+    if return_gc_stats:
+        return new_state, (out_stat[:, 1], out_stat[:, 2])
+    return new_state
