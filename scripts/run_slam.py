@@ -259,6 +259,10 @@ def main():
             state = state._replace(map=new_map)
             timing.stop("streaming")
         timing.frame_stop()
+        # ONE device_get for the whole diagnostics pytree: separate
+        # int(diag.x) reads each pay a full device->host round trip
+        # (seconds over a tunnelled runtime)
+        diag = jax.device_get(diag)
         est.append(np.asarray(state.pose))
         if gt_pose is not None:
             gts.append(np.asarray(gt_pose))
