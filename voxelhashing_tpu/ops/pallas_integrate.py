@@ -14,15 +14,17 @@ kernel removes the scalar gathers entirely; the whole sampling pass
    [B,512] broadcast ops — no [G,512] XLA prep pass, no q/index arrays in
    HBM.
 
-2. **Folded-patch gather.** Each block's 512 voxels sample a [32 x 512]
-   window of the 8-channel-interleaved bf16 image (d_hi, d_lo, r, g, b,
-   0, 0, 0 per pixel — depth split into two bf16 limbs for f32-grade
-   precision).  The window's four 128-lane chunks are stacked on sublanes
-   into a [128, 128] tile, so a single one-hot [128,512] MXU matmul picks
-   each voxel's (row, chunk) pair and ONE 128-lane ``tpu.dynamic_gather``
-   picks its column — channel c lands in lane ``c (mod 8)`` because the
-   8-channel interleave keeps groups lane-aligned (no straddle, no hi/lo
-   split).
+2. **Folded-patch pick, gather-free.** Each block's 512 voxels sample a
+   [32 x 512] window of the 8-channel-interleaved bf16 image (d_hi, d_lo,
+   r, g, b, 0, 0, 0 per pixel — depth split into two bf16 limbs for
+   f32-grade precision).  The window's four 128-lane chunks are stacked
+   on sublanes into a [128, 128] tile; a TRANSPOSED one-hot MXU matmul
+   (``dot(pstack, oh)``) picks each voxel's (row, chunk) pair with the
+   voxels on LANES, and the per-voxel column pick is a masked stride-8
+   sublane fold — channel c lands at sublane c for every voxel because
+   the 8-channel interleave keeps lane offsets multiples of 8.  No
+   ``tpu.dynamic_gather`` anywhere (the round-2 kernel used one and its
+   forced [512,128] output was the frame-time floor).
 
 3. **combineVoxel in-kernel.** The fusion rule (weighted sdf average,
    weight clamp, 50/50 color blend, VoxelUtilHashSDF.h:228-250) runs
@@ -61,17 +63,6 @@ _ROWS_FOLD = _PATCH_ROWS * _FOLD      # one-hot row count after folding
 _BATCH_A = 16        # blocks per grid step
 _PB_SENTINEL = 1.0e9  # pb for padded blocks -> off-screen -> no update
 
-# dynamic_gather along lanes: out[i,j] = x[i, idx[i,j]]
-_DNUMS_LANE = lax.GatherDimensionNumbers(
-    offset_dims=(), collapsed_slice_dims=(1,), start_index_map=(1,),
-    operand_batching_dims=(0,), start_indices_batching_dims=(0,))
-
-
-def _lane_gather(x, idx):
-    return lax.gather(x, idx[..., None], _DNUMS_LANE, (1, 1),
-                      mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)
-
-
 def split_bf16_limbs(x):
     """f32 -> (hi bf16, lo bf16) with hi + lo == x to ~2^-17 relative.
 
@@ -106,8 +97,9 @@ def _make_kernel(cam: CameraConfig, cfg: MapConfig, wcols: int):
 
     vsz = cfg.voxel_size
 
-    def kernel(nact_ref, img_ref, pb_ref, a_ref, osdf_ref, ow_ref, oc_ref,
-               nsdf_ref, nw_ref, nc_ref, nstat_ref, dsc, rsc, gsc, bsc):
+    def kernel(nact_ref, img_ref, pb_ref, win_ref, a_ref, osdf_ref, ow_ref,
+               oc_ref, nsdf_ref, nw_ref, nc_ref, nstat_ref,
+               dsc, rsc, gsc, bsc):
         # Compacted active lists are packed: every block of this batch is
         # past n_active -> skip the whole body (out rows are garbage but
         # the fusion scatter drops rows >= n_active via safe_idx).
@@ -115,12 +107,12 @@ def _make_kernel(cam: CameraConfig, cfg: MapConfig, wcols: int):
 
         @pl.when(i * _BATCH_A < nact_ref[0])
         def _body():
-            _kernel_body(img_ref, pb_ref, a_ref, osdf_ref, ow_ref, oc_ref,
-                         nsdf_ref, nw_ref, nc_ref, nstat_ref,
+            _kernel_body(img_ref, pb_ref, win_ref, a_ref, osdf_ref, ow_ref,
+                         oc_ref, nsdf_ref, nw_ref, nc_ref, nstat_ref,
                          dsc, rsc, gsc, bsc)
 
-    def _kernel_body(img_ref, pb_ref, a_ref, osdf_ref, ow_ref, oc_ref,
-                     nsdf_ref, nw_ref, nc_ref, nstat_ref,
+    def _kernel_body(img_ref, pb_ref, win_ref, a_ref, osdf_ref, ow_ref,
+                     oc_ref, nsdf_ref, nw_ref, nc_ref, nstat_ref,
                      dsc, rsc, gsc, bsc):
         # Layout discipline: everything that CAN be phrased per-batch runs
         # on [B,512] full-vreg tiles (a [1,512] op wastes 7/8 of every
@@ -141,16 +133,15 @@ def _make_kernel(cam: CameraConfig, cfg: MapConfig, wcols: int):
         ui = jnp.floor(px * fx / safe_z + cx + 0.5).astype(jnp.int32)
         vi = jnp.floor(py * fy / safe_z + cy + 0.5).astype(jnp.int32)
         on = (ui >= 0) & (ui < w) & (vi >= 0) & (vi < h) & (pz > 0.0)
-        big = jnp.int32(1 << 20)
-        vi_m = jnp.where(on, vi, big)
-        ui_m = jnp.where(on, ui, big)
 
-        # batched window origins (must match the per-block scalar ones
-        # computed for the slice below: same clip/floor chain)
-        v0v = jnp.clip((jnp.min(vi_m, axis=1, keepdims=True) // 8) * 8,
-                       0, h - _PATCH_ROWS)                # [B,1]
-        u0v = jnp.clip((jnp.min(ui_m, axis=1, keepdims=True) * _NCH
-                        // _LANE) * _LANE, 0, wcols - _PATCH_COLS)
+        # window origins are XLA-precomputed from the block's 8 lattice
+        # corners (projection extrema of a box sit at its corners and
+        # floor is monotone, so the corner min == the per-voxel min for
+        # interior blocks; screen-edge blocks clip corners first) — this
+        # removes two in-kernel reduce->scalar-extract chains per block
+        # that serialised the slice/matmul pipeline.
+        v0v = win_ref[:, 0:1]                             # [B,1] i32
+        u0v = win_ref[:, 1:2]
         dv = vi - v0v                                     # [B,512]
         du = ui * _NCH - u0v
         ok = (on & (dv >= 0) & (dv < _PATCH_ROWS)
@@ -158,32 +149,26 @@ def _make_kernel(cam: CameraConfig, cfg: MapConfig, wcols: int):
         rowidx = jnp.where(ok, _PATCH_ROWS * (du >> 7) + dv,
                            jnp.int32(2 * _ROWS_FOLD))     # [B,512]
         lane = jnp.where(ok, du & (_LANE - 1), 0)
-        # [B,512] -> [512,B] via an MXU identity matmul: Mosaic lowers a
-        # jnp.transpose of this shape to a sublane relayout costing ~6 ms/
-        # frame; the dot is exact for lane values < 256 (bf16-exact ints)
-        eyeb = (lax.broadcasted_iota(jnp.int32, (_BATCH_A, _BATCH_A), 0)
-                == lax.broadcasted_iota(jnp.int32, (_BATCH_A, _BATCH_A), 1)
-                ).astype(jnp.bfloat16)
-        lane_t = lax.dot_general(lane.astype(jnp.bfloat16), eyeb,
-                                 (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32
-                                 ).astype(jnp.int32)      # [512,B]
+        grp = lane >> 3                                   # 8-lane group id
 
         riota = lax.broadcasted_iota(jnp.int32, (_ROWS_FOLD, 1), 0)
-        lane8 = lax.broadcasted_iota(
-            jnp.int32, (VOXELS_PER_BLOCK, _LANE), 1) % _NCH
+        liota3 = lax.broadcasted_iota(jnp.int32, (_LANE, 1), 0) >> 3
 
-        # --- phase B: per-block patch pick (MXU one-hot + lane gather) ---
+        # --- phase B: per-block patch pick -------------------------------
+        # Transposed one-hot MXU matmul puts VOXELS ON LANES
+        # (sel_t[l, v] = patch value at (rowidx_v, l)), so the per-voxel
+        # column pick becomes a masked stride-8 SUBLANE fold: mask the
+        # voxel's 8-lane channel group, then fold sublanes by 64/32/16/8 —
+        # channel c lands exactly at sublane c for every voxel because
+        # lane offsets are multiples of _NCH.  This replaced a per-block
+        # [512,128] `tpu.dynamic_gather` (64 output vregs @ ~12 ns each,
+        # ~0.77 us/block — the round-2 kernel floor), an idx build, an MXU
+        # lane transpose and a [512,8]->[8,512] relayout: 25.4 -> 4.0 ms
+        # at the bench operating point.  Bit-exact: the one-hot leaves a
+        # single nonzero product per output in both formulations.
         for k in range(_BATCH_A):
-            # window origin scalars re-derived exactly like v0v/u0v (same
-            # min + clip chain) so slice and dv/du always agree
-            vmin = jnp.min(vi_m[k:k + 1, :])
-            umin = jnp.min(ui_m[k:k + 1, :])
-            v0 = jnp.clip((vmin // 8) * 8, 0, h - _PATCH_ROWS)
-            u0 = jnp.clip((umin * _NCH // _LANE) * _LANE,
-                          0, wcols - _PATCH_COLS)
-            v0 = pl.multiple_of(v0, 8)
-            u0 = pl.multiple_of(u0, _LANE)
+            v0 = pl.multiple_of(win_ref[k, 0], 8)
+            u0 = pl.multiple_of(win_ref[k, 1], _LANE)
             patch = img_ref[pl.ds(v0, _PATCH_ROWS),
                             pl.ds(u0, _PATCH_COLS)]       # [32,512] bf16
             # fold lane chunks onto sublanes: value(dv, du) lives at
@@ -195,17 +180,18 @@ def _make_kernel(cam: CameraConfig, cfg: MapConfig, wcols: int):
             # row+chunk pick on the MXU (invalid rows -> all-zero one-hot
             # -> d = 0 -> "no update" downstream)
             oh = (rowidx[k:k + 1, :] == riota).astype(jnp.bfloat16)
-            sel = lax.dot_general(oh, pstack, (((0,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-            # column pick: lane j of the gather reads channel j mod 8
-            idx = lane_t[:, k:k + 1] + lane8              # [512,128]
-            g = _lane_gather(sel, idx)                    # [512,128] f32
-            chan = jnp.transpose(g[:, :_NCH], (1, 0))     # [8,512] f32
+            sel_t = lax.dot_general(pstack, oh, (((0,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            x = jnp.where(liota3 == grp[k:k + 1, :], sel_t, 0.0)
+            x = x + jnp.concatenate([x[64:], x[:64]], axis=0)
+            x = x + jnp.concatenate([x[32:], x[:32]], axis=0)
+            x = x + jnp.concatenate([x[16:], x[:16]], axis=0)
+            x = x + jnp.concatenate([x[8:], x[:8]], axis=0)
 
-            dsc[k:k + 1, :] = chan[0:1, :] + chan[1:2, :]  # exact f32 depth
-            rsc[k:k + 1, :] = chan[2:3, :]
-            gsc[k:k + 1, :] = chan[3:4, :]
-            bsc[k:k + 1, :] = chan[4:5, :]
+            dsc[k:k + 1, :] = x[0:1, :] + x[1:2, :]       # exact f32 depth
+            rsc[k:k + 1, :] = x[2:3, :]
+            gsc[k:k + 1, :] = x[3:4, :]
+            bsc[k:k + 1, :] = x[4:5, :]
 
         # --- phase C: batched combineVoxel [B,512] ------------------------
         # (VoxelUtilHashSDF.h:228-250); gathered d = 0 (off-patch /
@@ -258,20 +244,23 @@ def _make_kernel(cam: CameraConfig, cfg: MapConfig, wcols: int):
     return kernel
 
 
-def _run_fused(img, pb, aff, old_sdf, old_w, old_c, g, cam, cfg,
+def _run_fused(img, pb, win, aff, old_sdf, old_w, old_c, g, cam, cfg,
                interpret, n_active=None):
     """Run the fused sample+combine kernel over ``g`` blocks.
 
     ``img``: [h, wcols] bf16 interleaved frame; ``pb``: [g,8] f32 per-block
     camera-space base points (cols 0-2; sentinel rows for padding);
-    ``aff``: [3,512] f32 per-frame affine offsets; ``old_*``: [g,512]
-    row-gathered pool data (color bitcast to i32). Returns the fused
-    (sdf f32, weight f32, color i32) rows [g,512].
+    ``win``: [g,8] i32 per-block patch-window origins (col 0 = image row,
+    col 1 = interleaved column, both pre-aligned); ``aff``: [3,512] f32
+    per-frame affine offsets; ``old_*``: [g,512] row-gathered pool data
+    (color bitcast to i32). Returns the fused (sdf f32, weight f32,
+    color i32) rows [g,512].
     """
     gp = -(-g // _BATCH_A) * _BATCH_A
     if gp != g:
         pb = jnp.pad(pb, ((0, gp - g), (0, 0)),
                      constant_values=_PB_SENTINEL)
+        win = jnp.pad(win, ((0, gp - g), (0, 0)))
         old_sdf = jnp.pad(old_sdf, ((0, gp - g), (0, 0)))
         old_w = jnp.pad(old_w, ((0, gp - g), (0, 0)))
         old_c = jnp.pad(old_c, ((0, gp - g), (0, 0)))
@@ -289,6 +278,8 @@ def _run_fused(img, pb, aff, old_sdf, old_w, old_c, g, cam, cfg,
                          memory_space=pltpu.VMEM),        # resident image
             pl.BlockSpec((_BATCH_A, 8), lambda i, n: (i, 0),
                          memory_space=pltpu.VMEM),        # pb per batch
+            pl.BlockSpec((_BATCH_A, 8), lambda i, n: (i, 0),
+                         memory_space=pltpu.VMEM),        # window origins
             pl.BlockSpec((3, VOXELS_PER_BLOCK), lambda i, n: (0, 0),
                          memory_space=pltpu.VMEM),        # affine table
             row_spec, row_spec, row_spec,                 # old rows
@@ -308,7 +299,7 @@ def _run_fused(img, pb, aff, old_sdf, old_w, old_c, g, cam, cfg,
                    jax.ShapeDtypeStruct(vshape, jnp.int32),
                    jax.ShapeDtypeStruct((gp, 4), jnp.float32)],
         interpret=interpret,
-    )(nact, img, pb, aff, old_sdf, old_w, old_c)
+    )(nact, img, pb, win, aff, old_sdf, old_w, old_c)
     return nsdf[:g], nw[:g], nc[:g], nstat[:g]
 
 
@@ -389,12 +380,36 @@ def integrate_pallas(state: MapState, depth, color, pose,
                      r[1, 0] * ox + r[1, 1] * oy + r[1, 2] * oz,
                      r[2, 0] * ox + r[2, 1] * oy + r[2, 2] * oz], axis=0)
 
+    # ---- per-block patch-window origins from the 8 lattice corners ------
+    # u(x,y,z) = fx*x/z + cx is monotone in each coordinate over a box, so
+    # its min over the 8x8x8 voxel lattice is attained at a lattice corner;
+    # using the SAME aff entries + op order as the kernel makes the corner
+    # min bit-identical to the old in-kernel per-voxel min for interior
+    # blocks (screen-edge blocks clip corners to the viewport first, which
+    # can only widen the per-frame skip set marginally).
+    h_, w_ = cam.height, cam.width
+    wcols = img.shape[1]
+    cids = np.array([0, 7, 56, 63, 448, 455, 504, 511], np.int32)
+    pxc = pb[:, 0:1] + aff[0, cids][None, :]                # [G,8]
+    pyc = pb[:, 1:2] + aff[1, cids][None, :]
+    pzc = pb[:, 2:3] + aff[2, cids][None, :]
+    safe_zc = jnp.where(pzc == 0.0, 1e-12, pzc)
+    uic = jnp.floor(pxc * cam.fx / safe_zc + cam.cx + 0.5).astype(jnp.int32)
+    vic = jnp.floor(pyc * cam.fy / safe_zc + cam.cy + 0.5).astype(jnp.int32)
+    uic = jnp.clip(uic, 0, w_ - 1)
+    vic = jnp.clip(vic, 0, h_ - 1)
+    v0 = jnp.clip((jnp.min(vic, axis=1) // 8) * 8, 0, h_ - _PATCH_ROWS)
+    u0 = jnp.clip((jnp.min(uic, axis=1) * _NCH // _LANE) * _LANE,
+                  0, wcols - _PATCH_COLS)
+    win = jnp.stack([v0, u0], axis=1)
+    win = jnp.pad(win, ((0, 0), (0, 8 - 2)))                # [G,8] i32
+
     # ---- fused projection + gather + combineVoxel kernel ----------------
     old_sdf = state.sdf[active_idx]                         # row gathers
     old_w = state.weight[active_idx]
     old_c = lax.bitcast_convert_type(state.color[active_idx], jnp.int32)
     out_sdf, out_w, out_c_i, out_stat = _run_fused(
-        img, pb, aff, old_sdf, old_w, old_c, g, cam, cfg, interpret,
+        img, pb, win, aff, old_sdf, old_w, old_c, g, cam, cfg, interpret,
         n_active=n_active)                                  # [G,512]
     out_c = lax.bitcast_convert_type(out_c_i, jnp.uint32)
     out_surf = out_stat[:, 0] > 0.5
