@@ -67,7 +67,8 @@ def _make_kernel(cam: CameraConfig, cfg: MapConfig, hpad: int, wpad: int):
     dmin, dmax = cam.depth_min, cam.depth_max
     vs = cfg.voxel_size
 
-    def kernel(ns_ref, pb_ref, a_ref, sdf_ref, wgt_ref, out_ref, cnt_ref):
+    def kernel(ns_ref, pb_ref, win_ref, a_ref, sdf_ref, wgt_ref,
+               out_ref, cnt_ref):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -79,9 +80,10 @@ def _make_kernel(cam: CameraConfig, cfg: MapConfig, hpad: int, wpad: int):
         # init above still runs at i == 0).
         @pl.when(i * _BATCH < ns_ref[0])
         def _batch():
-            _body(pb_ref, a_ref, sdf_ref, wgt_ref, out_ref, cnt_ref)
+            _body(pb_ref, win_ref, a_ref, sdf_ref, wgt_ref, out_ref,
+                  cnt_ref)
 
-    def _body(pb_ref, a_ref, sdf_ref, wgt_ref, out_ref, cnt_ref):
+    def _body(pb_ref, win_ref, a_ref, sdf_ref, wgt_ref, out_ref, cnt_ref):
         # --- phase A: batched projection + patch coords [B,512] ----------
         pbx = pb_ref[:, 0:1]
         pby = pb_ref[:, 1:2]
@@ -99,13 +101,11 @@ def _make_kernel(cam: CameraConfig, cfg: MapConfig, hpad: int, wpad: int):
         ok = (surface & (pz > 0.0)
               & (ui >= 0) & (ui < w) & (vi >= 0) & (vi < h)
               & (z_surf > dmin) & (z_surf < dmax))
-        big = jnp.int32(1 << 20)
-        vi_m = jnp.where(ok, vi, big)
-        ui_m = jnp.where(ok, ui, big)
-        v0v = jnp.clip((jnp.min(vi_m, axis=1, keepdims=True) // 8) * 8,
-                       0, hpad - _ROWS)                   # [B,1]
-        u0v = jnp.clip((jnp.min(ui_m, axis=1, keepdims=True) // 128) * 128,
-                       0, wpad - _COLS)
+        # window origins XLA-precomputed from the block's 8 lattice corners
+        # (full-block span contains the surface subset; see
+        # pallas_integrate's corner-window note)
+        v0v = win_ref[:, 0:1]                             # [B,1] i32
+        u0v = win_ref[:, 1:2]
         dv = vi - v0v
         du = ui - u0v
         in_patch = (dv >= 0) & (dv < _ROWS) & (du >= 0) & (du < _COLS)
@@ -116,34 +116,31 @@ def _make_kernel(cam: CameraConfig, cfg: MapConfig, hpad: int, wpad: int):
         z = jnp.where(okp, z_surf, 0.0)
         zhi = z.astype(jnp.bfloat16)
         zlo = (z - zhi.astype(jnp.float32)).astype(jnp.bfloat16)
-        # one batched transpose each (vs B per-block [1,512] transposes)
-        du_t = jnp.transpose(du, (1, 0))                  # [512,B]
-        zhi_t = jnp.transpose(zhi, (1, 0))
-        zlo_t = jnp.transpose(zlo, (1, 0))
 
         riota = lax.broadcasted_iota(jnp.int32, (_ROWS, 1), 0)
-        ciota = lax.broadcasted_iota(jnp.int32, (1, _COLS), 1)
-        dots = functools.partial(lax.dot_general,
-                                 dimension_numbers=(((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+        ciota_c = lax.broadcasted_iota(jnp.int32, (_COLS, 1), 0)
+        # NT contraction (both operands carry voxels on LANES): the column
+        # one-hot is built directly as cT[j, v] = (du_v == j) from the
+        # [1,512] du row — no [B,512]->[512,B] relayout transposes for
+        # du/zhi/zlo (3 per batch in kernel v2).
+        dots_nt = functools.partial(lax.dot_general,
+                                    dimension_numbers=(((1,), (1,)),
+                                                       ((), ())),
+                                    preferred_element_type=jnp.float32)
 
         # --- phase B: per-block one-hot matmuls + z-buffer min -----------
         for k in range(_BATCH):
-            r = (dv[k:k + 1, :] == riota).astype(jnp.bfloat16)   # [32,512]
-            c = (du_t[:, k:k + 1] == ciota).astype(jnp.bfloat16)  # [512,256]
-            cnt = dots(r, c)                                     # [32,256]
-            s_hi = dots(r, c * zhi_t[:, k:k + 1])
-            s_lo = dots(r, c * zlo_t[:, k:k + 1])
+            r = (dv[k:k + 1, :] == riota).astype(jnp.bfloat16)    # [32,512]
+            ct = (du[k:k + 1, :] == ciota_c).astype(jnp.bfloat16)  # [256,512]
+            cnt = dots_nt(r, ct)                                  # [32,256]
+            s_hi = dots_nt(r, ct * zhi[k:k + 1, :])
+            s_lo = dots_nt(r, ct * zlo[k:k + 1, :])
             patch = jnp.where(cnt > 0.5,
                               (s_hi + s_lo) / jnp.maximum(cnt, 1.0),
                               jnp.inf)
 
-            vmin = jnp.min(vi_m[k:k + 1, :])
-            umin = jnp.min(ui_m[k:k + 1, :])
-            v0 = jnp.clip((vmin // 8) * 8, 0, hpad - _ROWS)
-            u0 = jnp.clip((umin // 128) * 128, 0, wpad - _COLS)
-            v0 = pl.multiple_of(v0, 8)
-            u0 = pl.multiple_of(u0, 128)
+            v0 = pl.multiple_of(win_ref[k, 0], 8)
+            u0 = pl.multiple_of(win_ref[k, 1], 128)
             cur = out_ref[pl.ds(v0, _ROWS), pl.ds(u0, _COLS)]
             out_ref[pl.ds(v0, _ROWS), pl.ds(u0, _COLS)] = \
                 jnp.minimum(cur, patch)
@@ -151,12 +148,14 @@ def _make_kernel(cam: CameraConfig, cfg: MapConfig, hpad: int, wpad: int):
     return kernel
 
 
-def _run_splat(n_rows, pb, aff, sdf, wgt, cam, cfg, hpad, wpad, interpret):
+def _run_splat(n_rows, pb, win, aff, sdf, wgt, cam, cfg, hpad, wpad,
+               interpret):
     s = sdf.shape[0]
     sp = -(-s // _BATCH) * _BATCH
     if sp != s:
         pb = jnp.pad(pb, ((0, sp - s), (0, 0)),
                      constant_values=_PB_SENTINEL)
+        win = jnp.pad(win, ((0, sp - s), (0, 0)))
         sdf = jnp.pad(sdf, ((0, sp - s), (0, 0)))
         wgt = jnp.pad(wgt, ((0, sp - s), (0, 0)))
     ns = jnp.asarray(n_rows, jnp.int32).reshape(1)
@@ -168,6 +167,8 @@ def _run_splat(n_rows, pb, aff, sdf, wgt, cam, cfg, hpad, wpad, interpret):
         in_specs=[
             pl.BlockSpec((_BATCH, 8), lambda i, ns: (i, 0),
                          memory_space=pltpu.VMEM),        # pb per batch
+            pl.BlockSpec((_BATCH, 8), lambda i, ns: (i, 0),
+                         memory_space=pltpu.VMEM),        # window origins
             pl.BlockSpec((3, VOXELS_PER_BLOCK), lambda i, ns: (0, 0),
                          memory_space=pltpu.VMEM),        # affine table
             row_spec, row_spec,                           # sdf / weight rows
@@ -185,7 +186,7 @@ def _run_splat(n_rows, pb, aff, sdf, wgt, cam, cfg, hpad, wpad, interpret):
         out_shape=[jax.ShapeDtypeStruct((hpad, wpad), jnp.float32),
                    jax.ShapeDtypeStruct((1,), jnp.int32)],
         interpret=interpret,
-    )(ns, pb, aff, sdf, wgt)
+    )(ns, pb, win, aff, sdf, wgt)
     return zbuf, nclip[0]
 
 
@@ -234,8 +235,24 @@ def splat_zbuf_pallas(state: MapState, sdf, wgt, sel_active, row_mask, view,
                      r[1, 0] * ox + r[1, 1] * oy + r[1, 2] * oz,
                      r[2, 0] * ox + r[2, 1] * oy + r[2, 2] * oz], axis=0)
 
+    # ---- per-block patch-window origins from the 8 lattice corners ------
+    # (same construction as pallas_integrate: projection extrema of a box
+    # are at its corners; screen-edge corners clip to the viewport first)
+    cids = np.array([0, 7, 56, 63, 448, 455, 504, 511], np.int32)
+    pxc = pb[:, 0:1] + aff[0, cids][None, :]                      # [S,8]
+    pyc = pb[:, 1:2] + aff[1, cids][None, :]
+    pzc = pb[:, 2:3] + aff[2, cids][None, :]
+    safe_zc = jnp.where(pzc == 0.0, 1e-12, pzc)
+    uic = jnp.floor(pxc * cam.fx / safe_zc + cam.cx + 0.5).astype(jnp.int32)
+    vic = jnp.floor(pyc * cam.fy / safe_zc + cam.cy + 0.5).astype(jnp.int32)
+    uic = jnp.clip(uic, 0, w - 1)
+    vic = jnp.clip(vic, 0, h - 1)
+    v0 = jnp.clip((jnp.min(vic, axis=1) // 8) * 8, 0, hpad - _ROWS)
+    u0 = jnp.clip((jnp.min(uic, axis=1) // 128) * 128, 0, wpad - _COLS)
+    win = jnp.pad(jnp.stack([v0, u0], axis=1), ((0, 0), (0, 8 - 2)))
+
     if n_rows is None:
         n_rows = jnp.int32(s)
-    zbuf, n_clipped = _run_splat(n_rows, pb, aff, sdf, wgt, cam, cfg,
+    zbuf, n_clipped = _run_splat(n_rows, pb, win, aff, sdf, wgt, cam, cfg,
                                  hpad, wpad, interpret)
     return zbuf[:h, :w].reshape(-1), n_clipped
