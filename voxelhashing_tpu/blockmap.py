@@ -227,7 +227,43 @@ def _allocate_unique(state: MapState, keys, cfg: MapConfig
     # Pre-probe the full chain — tombstone-aware, exactly `lookup` — and
     # drop keys that are already resident. Candidates are unique within
     # this call (staging dedup), so the pre-probe can't go stale mid-loop.
-    _, resident = lookup(state, keys, cfg)
+    #
+    # Cost shape: `lookup` would pay max_probes table_key+table_val gather
+    # pairs over the WHOLE list, but (a) only `found` is needed here, and
+    # (b) at steady-state load (~10%) nearly every key resolves within two
+    # probes — so run two found-only rounds over the full list, then
+    # compact the rare unresolved keys to a short list for the remaining
+    # rounds.  Overflow past the short list is treated as resident (drop
+    # this round, retried next frame online / next fixpoint round offline
+    # — the standard drop-and-retry semantics, counted by alloc_missed).
+    table_key0 = state.table_key
+    found = jnp.zeros(keys.shape, bool)
+    dead = keys == INVALID_KEY
+    for r in range(min(2, cfg.max_probes)):
+        slots = _probe_slot(keys, r, h)
+        tk = table_key0[slots]
+        hit = (tk == keys) & ~dead
+        found |= hit
+        dead |= hit | (tk == INVALID_KEY)
+    live = ~dead
+    rcap = min(2048, k)
+    lrank = jnp.cumsum(live.astype(jnp.int32)) - 1
+    lkeep = live & (lrank < rcap)
+    lkeys = jnp.full((rcap,), INVALID_KEY, jnp.int32).at[
+        jnp.where(lkeep, lrank, rcap)].set(keys, mode="drop")
+    lpos = jnp.full((rcap,), k, jnp.int32).at[
+        jnp.where(lkeep, lrank, rcap)].set(inst, mode="drop")
+    lfound = jnp.zeros(lkeys.shape, bool)
+    ldead = lkeys == INVALID_KEY
+    for r in range(2, cfg.max_probes):
+        slots = _probe_slot(lkeys, r, h)
+        tk = table_key0[slots]
+        hit = (tk == lkeys) & ~ldead
+        lfound |= hit
+        ldead |= hit | (tk == INVALID_KEY)
+    found = found.at[jnp.where(lfound, lpos, k)].set(True, mode="drop")
+    overflow = live & ~lkeep
+    resident = found | overflow
     keys = jnp.where(resident, INVALID_KEY, keys)
 
     # Compact the genuinely-new keys to a short insert list: the probe
