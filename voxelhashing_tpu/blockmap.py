@@ -153,15 +153,18 @@ def allocate(state: MapState, candidate_keys, cfg: MapConfig,
     Deterministic, SORT-FREE replacement for ``allocBlock``'s bucket-mutex
     protocol (VoxelUtilHashSDF.h:532-638). Per round:
 
-    1. **Staging dedup**: scatter-min every candidate's instance id into a
-       staging slot keyed by its first probe hash; the winning instance
+    1. **Resident pre-drop** over the raw candidate stream: two found-only
+       probe gathers drop keys already in the table (nearly all of them in
+       steady state), so later stages scale with the new-key count.
+    2. **Compaction** of survivors to a bounded stage list.
+    3. **Staging dedup**: scatter-min every candidate's instance id into a
+       staging slot keyed by its per-round hash; the winning instance
        represents its key.  Two *different* keys colliding in staging drop
        the loser for this round — exactly the reference's semantics, where
        a failed bucket-lock drops the alloc and the next frame (or the
        offline fixpoint loop, CUDASceneRepHashSDF.h:251-267) retries.
        ``rounds=2`` makes same-frame misses vanishingly rare.
-    2. **Compaction** of staging winners to a bounded candidate list.
-    3. **Contended open-addressing insert**: statically unrolled probe
+    4. **Contended open-addressing insert**: statically unrolled probe
        rounds; empty/tombstone slots are claimed by scatter-min (lowest
        candidate index wins — deterministic); winners take pool slots by
        prefix-sum rank over the free list.
@@ -171,41 +174,50 @@ def allocate(state: MapState, candidate_keys, cfg: MapConfig,
     keys0 = jnp.asarray(candidate_keys, jnp.int32).reshape(-1)
     h = cfg.table_size
     n_pool = cfg.num_blocks
-    # staging winners per frame are bounded by the frustum's block count
-    # (~active set); the compact list is sized to max_active_blocks
-    cap = min(cfg.max_active_blocks, n_pool)
-
-    # Pre-compaction: one cumsum+scatter shrinks the (mostly-INVALID after
-    # the DDA's neighbor dedup) candidate stream so the per-round staging
-    # scatters run on ~4x fewer elements. Overflow beyond the 4*cap bound
-    # is dropped-and-retried (next frame online / reported by the engine's
-    # offline alloc_missed check) — same semantics as a staging collision.
-    precap = min(4 * cap, keys0.shape[0])
-    if precap < keys0.shape[0]:
-        valid0 = keys0 != INVALID_KEY
-        prank = jnp.cumsum(valid0.astype(jnp.int32)) - 1
-        keep0 = valid0 & (prank < precap)
-        keys0 = jnp.full((precap,), INVALID_KEY, jnp.int32).at[
-            jnp.where(keep0, prank, precap)].set(keys0, mode="drop")
+    scap = min(cfg.alloc_stage_cap, keys0.shape[0])
 
     total = jnp.int32(0)
     for ri in range(rounds):
-        # -- 1. staging dedup (hash varies per round so a key that lost a
-        # staging collision in round r wins a different slot in round r+1)
-        valid = keys0 != INVALID_KEY
-        slot0 = _probe_slot(keys0, ri, h)
-        inst = jnp.arange(keys0.shape[0], dtype=jnp.int32)
+        # -- 1. resident pre-drop on the RAW stream: in steady state
+        # (camera revisiting mapped space) nearly every candidate is
+        # already resident and resolves within two probe rounds at ~10%
+        # table load — two found-only gather passes drop them before any
+        # compaction, so everything downstream scales with the NEW-key
+        # count, not the frame's candidate count. Unresolved chains
+        # (occupied-by-other twice, no empty) stay live conservatively;
+        # _allocate_unique's full-chain check settles them.
+        found = jnp.zeros(keys0.shape, bool)
+        term = keys0 == INVALID_KEY
+        for r in range(min(2, cfg.max_probes)):
+            slots = _probe_slot(keys0, r, h)
+            tk = state.table_key[slots]
+            hit = (tk == keys0) & ~term
+            found |= hit
+            term |= hit | (tk == INVALID_KEY)
+        live = (keys0 != INVALID_KEY) & ~found
+
+        # -- 2. one compaction of the live keys to the bounded stage list.
+        # Overflow drops-and-retries (next round against the updated table
+        # frees window space; online, next frame / offline, the fixpoint
+        # rounds + alloc_missed check) — the reference's bucket-lock drop
+        # semantics (CUDASceneRepHashSDF.h:251-267).
+        rank = jnp.cumsum(live.astype(jnp.int32)) - 1
+        keep = live & (rank < scap)
+        lkeys = jnp.full((scap,), INVALID_KEY, jnp.int32).at[
+            jnp.where(keep, rank, scap)].set(keys0, mode="drop")
+
+        # -- 3. staging dedup (hash varies per round so two distinct keys
+        # colliding in round r stage to different slots in round r+1):
+        # scatter-min instance ids; the winner represents its key.
+        valid = lkeys != INVALID_KEY
+        slot0 = _probe_slot(lkeys, ri, h)
+        inst = jnp.arange(scap, dtype=jnp.int32)
         stage = jnp.full((h,), jnp.int32(0x7FFFFFFF)).at[
             jnp.where(valid, slot0, h)].min(inst, mode="drop")
         rep = valid & (stage[jnp.where(valid, slot0, 0)] == inst)
+        keys = jnp.where(rep, lkeys, INVALID_KEY)
 
-        # -- 2. compact representatives to a bounded list --------------
-        rank = jnp.cumsum(rep.astype(jnp.int32)) - 1
-        keep = rep & (rank < cap)
-        keys = jnp.full((cap,), INVALID_KEY, jnp.int32).at[
-            jnp.where(keep, rank, cap)].set(keys0, mode="drop")
-
-        # -- 3. contended insert over the compact list ------------------
+        # -- 4. contended insert over the deduped list ------------------
         state, n = _allocate_unique(state, keys, cfg)
         total = total + n
     return state, total

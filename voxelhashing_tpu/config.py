@@ -99,6 +99,12 @@ class MapConfig:
     # frame(s) (online) or the fixpoint rounds (offline) — the same
     # drop-and-retry semantics as a staging collision.
     alloc_insert_cap: int = 1 << 13
+    # Stage-list cap: candidate keys surviving the allocator's resident
+    # pre-drop are compacted to this many entries per round; everything
+    # after the pre-drop scales with it. Steady-state frames see a few
+    # hundred new keys; a big first view exceeds it and finishes over
+    # subsequent frames/rounds (drop-and-retry, bounded by alloc_missed).
+    alloc_stage_cap: int = 1 << 14
     # Per-pixel cap on DDA steps through block space during allocation
     # (the truncation band usually spans <= 4 blocks; reference caps the whole
     # ray walk at 1024 iters, CUDASceneRepHashSDF.cu:221).
@@ -108,6 +114,22 @@ class MapConfig:
     # scatters scale with stream length). Pixels whose band crosses more
     # blocks drop the excess for the frame (drop-and-retry semantics).
     alloc_fold: int = 4
+    # Online allocation ray decimation: candidates come from one ray per
+    # `alloc_tile` x `alloc_tile` pixel tile instead of one per pixel —
+    # TWO rays actually, covering the tile's min-depth and max-depth
+    # truncation bands, so both sides of a depth discontinuity allocate.
+    # A tile's mid-range depths (3+ distinct surfaces in one 2x2 tile) are
+    # the only coverage loss; they retry next frame as sampling shifts —
+    # the reference's own online alloc is similarly incomplete per frame
+    # (bucket-lock drops, CUDASceneRepHashSDF.cu allocBlock). The engine
+    # uses tiles ONLINE only; offline fixpoint replay stays per-pixel
+    # exact. Tiling shrinks the candidate stream ~2.7x, which is what the
+    # allocator's staging scatters scale with. 1 = per-pixel.
+    alloc_tile: int = 2
+    # Joint fold cap for the two tile rays (each ray's band crosses <= ~4
+    # blocks; when the tile is depth-flat the rays duplicate and the
+    # cross-ray dedup removes the copies, so 6 slots lose nothing).
+    alloc_fold_tile: int = 6
     # World extent: block coords live in [-world_blocks/2, world_blocks/2).
     # 1024^3 block keys pack into one int32 (30 bits).
     world_blocks: int = 1024

@@ -84,7 +84,11 @@ def _integrate_frame(state: MapState, frame: FrameInputs, pose,
     """
     cam = cfg.camera
     mp = map_cfg if map_cfg is not None else cfg.map
-    keys = integ.alloc_candidates(frame.depth, pose, cam, mp)
+    # Online: decimated two-ray-per-tile candidates (see MapConfig
+    # .alloc_tile); offline fixpoint replay keeps exact per-pixel coverage.
+    keys = integ.alloc_candidates(
+        frame.depth, pose, cam, mp,
+        tile=1 if cfg.offline else mp.alloc_tile)
     if key_filter is not None:
         keys = key_filter(keys)
     if stream_bitmask is not None:

@@ -36,20 +36,15 @@ from .geometry import INVALID_KEY
 # ---------------------------------------------------------------------------
 
 
-def alloc_candidates(depth, pose, cam: CameraConfig, cfg: MapConfig,
-                     view_matrix=None):
-    """Block keys touched by the truncation band of each depth pixel.
+def _dda_band_keys(d, valid, xn, yn, pose, cfg: MapConfig):
+    """Core vectorised 3D-DDA: keys [alloc_steps, P] for the truncation
+    band [d-t, d+t] along each normalised camera ray (xn, yn, 1).
 
-    Vectorised 3D-DDA (exactly the traversal of allocKernel,
-    CUDASceneRepHashSDF.cu:189-241): from the world point at depth ``d-t``
-    to ``d+t`` along the pixel ray, visiting every crossed block, capped at
-    ``cfg.alloc_steps`` static steps (the band typically spans <= 4 blocks).
-
-    Returns int32[h*w*alloc_steps] keys; invalid entries are INVALID_KEY.
+    Exactly the traversal of allocKernel (CUDASceneRepHashSDF.cu:189-241),
+    including the x, z, y axis tie order; invalid entries = INVALID_KEY.
     """
-    h, w = depth.shape
-    d = depth.reshape(-1)
-    valid = jnp.isfinite(d) & (d > 0.0) & (d < cfg.max_integration_distance)
+    valid = valid & jnp.isfinite(d) & (d > 0.0) \
+        & (d < cfg.max_integration_distance)
     d = jnp.where(valid, d, 1.0)
 
     t = cfg.truncation_at(d)
@@ -57,11 +52,6 @@ def alloc_candidates(depth, pose, cam: CameraConfig, cfg: MapConfig,
     max_d = jnp.minimum(cfg.max_integration_distance, d + t)
     valid &= min_d < max_d
 
-    # All per-pixel state is SoA ([P] per coordinate) for TPU lane packing.
-    u, v = geom.pixel_grid(w, h)
-    u, v = u.reshape(-1), v.reshape(-1)
-    xn = (u - cam.cx) / cam.fx            # normalised camera ray
-    yn = (v - cam.cy) / cam.fy
     r, tr = pose[:3, :3], pose[:3, 3]
 
     def to_world(depth_along):
@@ -141,15 +131,22 @@ def alloc_candidates(depth, pose, cam: CameraConfig, cfg: MapConfig,
     _, keys = jax.lax.scan(
         dda_step, (cxb, cyb, czb, tmx, tmy, tmz, valid), None,
         length=cfg.alloc_steps)
+    return keys
 
-    # Neighbor-shift pre-dedup (pure elementwise): a block's screen
-    # footprint spans several pixels, so the same key appears in the west/
-    # north neighbor's DDA column at the same step ~4x over. Invalidating
-    # those instances here cuts the candidate stream ~4.5x before the
-    # allocator's staging scatters — the key SET is unchanged (the first
-    # instance in scan order survives), so allocation semantics are
-    # identical.
-    k3 = keys.reshape(cfg.alloc_steps, h, w)
+
+def _dedup_and_fold(k3, fold: int):
+    """Shared tail of candidate generation: west/north neighbor-shift
+    dedup over the [S, h, w] key grid, then per-column rank-fold into the
+    first ``fold`` step slots. Returns flat int32[fold * h * w].
+
+    Neighbor-shift dedup (pure elementwise): a block's screen footprint
+    spans several pixels/tiles, so the same key appears in the west/north
+    neighbor's DDA column at the same step ~4x over. Invalidating those
+    instances cuts the candidate stream ~4.5x before the allocator's
+    staging scatters — the key SET is unchanged (the first instance in
+    scan order survives), so allocation semantics are identical.
+    """
+    s, h, w = k3.shape
     west = jnp.pad(k3[:, :, :-1], ((0, 0), (0, 0), (1, 0)),
                    constant_values=INVALID_KEY)
     north = jnp.pad(k3[:, :-1, :], ((0, 0), (1, 0), (0, 0)),
@@ -157,16 +154,14 @@ def alloc_candidates(depth, pose, cam: CameraConfig, cfg: MapConfig,
     dup = ((k3 == west) | (k3 == north)) & (k3 != INVALID_KEY)
     k3 = jnp.where(dup, INVALID_KEY, k3)
 
-    # Per-pixel fold: rank-compact each pixel's surviving keys into the
-    # first `alloc_fold` step slots (pure elementwise — the allocator's
-    # downstream compaction scatters scale with STREAM LENGTH, so halving
-    # the stream halves them). The band crosses <= ~4 blocks for all but
-    # extreme grazing rays; a pixel with more survivors drops the excess
-    # for this frame — the same drop-and-retry semantics as a staging
-    # collision (online retries next frame, offline the fixpoint rounds).
-    fold = min(cfg.alloc_fold, cfg.alloc_steps)
-    if fold < cfg.alloc_steps:
-        k2 = k3.reshape(cfg.alloc_steps, h * w)
+    # Per-column fold: rank-compact each column's surviving keys into the
+    # first `fold` step slots (pure elementwise — the allocator's
+    # downstream compaction scatters scale with STREAM LENGTH). A column
+    # with more survivors drops the excess for this frame — the same
+    # drop-and-retry semantics as a staging collision (online retries next
+    # frame, offline the fixpoint rounds).
+    if fold < s:
+        k2 = k3.reshape(s, h * w)
         vmask = k2 != INVALID_KEY
         rank = jnp.cumsum(vmask.astype(jnp.int32), axis=0) - 1   # [S,P]
         out = []
@@ -176,7 +171,66 @@ def alloc_candidates(depth, pose, cam: CameraConfig, cfg: MapConfig,
             # the key when present, INVALID otherwise.
             out.append(jnp.min(jnp.where(pick, k2, INVALID_KEY), axis=0))
         return jnp.stack(out, axis=0).reshape(-1)   # [fold * P]
-    return k3.reshape(-1)   # [alloc_steps * P]
+    return k3.reshape(-1)
+
+
+def alloc_candidates(depth, pose, cam: CameraConfig, cfg: MapConfig,
+                     view_matrix=None, tile: int = 1):
+    """Block keys touched by the truncation bands of a depth frame.
+
+    ``tile=1``: one DDA ray per pixel over [d-t, d+t] (allocKernel,
+    CUDASceneRepHashSDF.cu:158-243) — exact, used by offline replay.
+    ``tile>1``: TWO rays per ``tile x tile`` pixel tile (min-depth band +
+    max-depth band, tile-centre direction) — the online fast path; see
+    ``MapConfig.alloc_tile`` for the coverage semantics.
+
+    Returns flat int32 keys; invalid entries are INVALID_KEY.
+    """
+    h, w = depth.shape
+    if tile > 1 and h % tile == 0 and w % tile == 0:
+        ht, wt = h // tile, w // tile
+        d4 = depth.reshape(ht, tile, wt, tile)
+        pv = jnp.isfinite(d4) & (d4 > 0.0) \
+            & (d4 < cfg.max_integration_distance)
+        inf = jnp.float32(jnp.inf)
+        dmin = jnp.min(jnp.where(pv, d4, inf), axis=(1, 3)).reshape(-1)
+        dmax = jnp.max(jnp.where(pv, d4, -inf), axis=(1, 3)).reshape(-1)
+        any_v = jnp.any(pv, axis=(1, 3)).reshape(-1)
+        dmin = jnp.where(any_v, dmin, 1.0)
+        dmax = jnp.where(any_v, dmax, 1.0)
+        # tile-centre ray direction (pixel-footprint error << block size)
+        uc = (jnp.arange(wt, dtype=jnp.float32) + 0.5) * tile - 0.5
+        vc = (jnp.arange(ht, dtype=jnp.float32) + 0.5) * tile - 0.5
+        u = jnp.broadcast_to(uc[None, :], (ht, wt)).reshape(-1)
+        v = jnp.broadcast_to(vc[:, None], (ht, wt)).reshape(-1)
+        xn = (u - cam.cx) / cam.fx
+        yn = (v - cam.cy) / cam.fy
+        ka = _dda_band_keys(dmin, any_v, xn, yn, pose, cfg)   # [S, Pt]
+        kb = _dda_band_keys(dmax, any_v, xn, yn, pose, cfg)
+        s = cfg.alloc_steps
+        ka3 = ka.reshape(s, ht, wt)
+        kb3 = kb.reshape(s, ht, wt)
+        # Cross-ray dedup: a depth-flat tile's two rays emit the same key
+        # sequence step-aligned (or one step off when the bands straddle a
+        # block boundary differently) — drop B's copies so the joint fold
+        # below loses nothing on flat tiles.
+        dup = (kb3 == ka3)
+        dup |= kb3 == jnp.concatenate([ka3[1:], ka3[:1]], axis=0)
+        dup |= kb3 == jnp.concatenate([ka3[-1:], ka3[:-1]], axis=0)
+        kb3 = jnp.where(dup & (kb3 != INVALID_KEY), INVALID_KEY, kb3)
+        k3 = jnp.concatenate([ka3, kb3], axis=0)              # [2S, ht, wt]
+        return _dedup_and_fold(k3, min(cfg.alloc_fold_tile, 2 * s))
+
+    d = depth.reshape(-1)
+    valid = jnp.ones(d.shape, bool)
+    # All per-pixel state is SoA ([P] per coordinate) for TPU lane packing.
+    u, v = geom.pixel_grid(w, h)
+    u, v = u.reshape(-1), v.reshape(-1)
+    xn = (u - cam.cx) / cam.fx            # normalised camera ray
+    yn = (v - cam.cy) / cam.fy
+    keys = _dda_band_keys(d, valid, xn, yn, pose, cfg)
+    k3 = keys.reshape(cfg.alloc_steps, h, w)
+    return _dedup_and_fold(k3, min(cfg.alloc_fold, cfg.alloc_steps))
 
 
 def allocate_from_depth(state: MapState, depth, pose, cam: CameraConfig,
