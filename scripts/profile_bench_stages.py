@@ -137,7 +137,8 @@ def run_stage(stage):
     elif stage == "alloc":
         def f(x):
             acc, d, pose = x
-            k2 = integ.alloc_candidates(d, pose, cam, mp)
+            k2 = integ.alloc_candidates(d, pose, cam, mp,
+                                        tile=mp.alloc_tile)
             return (acc + k2[0] * eps, d, pose)
         timed("alloc_candidates", f, (jnp.float32(0), frame.depth,
                                       state.pose))

@@ -56,6 +56,14 @@ class MapState(NamedTuple):
     # instead of re-scanning all active rows per frame. May be stale-TRUE
     # after starvation (harmless: the cull only over-includes).
     surf: jax.Array
+    # Free-slot stack (the reference's d_heap + d_heapCounter,
+    # VoxelUtilHashSDF.h:813-823, as a deterministic prefix-sum stack):
+    # free_stack[0:n_free] holds the free pool slot indices; allocation
+    # pops from the top (free_stack[n_free-1-rank]), deletion pushes at
+    # n_free. Maintained incrementally — rebuilding the free list per
+    # frame costs ~3.5 ms at 64K blocks (cumsum+scatter) on a v5e.
+    free_stack: jax.Array    # int32[N]
+    n_free: jax.Array        # int32[]
     n_tombstones: jax.Array  # int32[]  tombstone count (rehash trigger)
 
 
@@ -87,6 +95,8 @@ def create(cfg: MapConfig) -> MapState:
         weight=jnp.zeros((n, VOXELS_PER_BLOCK), jnp.float32),
         color=jnp.zeros((n, VOXELS_PER_BLOCK), jnp.uint32),
         surf=jnp.zeros((n,), bool),
+        free_stack=jnp.arange(n, dtype=jnp.int32),
+        n_free=jnp.int32(n),
         n_tombstones=jnp.int32(0),
     )
 
@@ -294,12 +304,11 @@ def _allocate_unique(state: MapState, keys, cfg: MapConfig
         k = icap
         inst = jnp.arange(k, dtype=jnp.int32)
 
-    free = state.block_key == INVALID_KEY                      # [N]
-    n_free = jnp.sum(free.astype(jnp.int32))
-    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
-    free_slots = jnp.zeros((n_pool,), jnp.int32).at[
-        jnp.where(free, free_rank, n_pool)].set(
-        jnp.arange(n_pool, dtype=jnp.int32), mode="drop")
+    # Pool slots come off the incremental free stack (consumeHeap,
+    # VoxelUtilHashSDF.h:518-529): pop from the top, deterministically
+    # ordered by prefix-sum rank over this round's winners.
+    n_free = state.n_free
+    free_stack = state.free_stack
 
     table_key, table_val = state.table_key, state.table_val
     block_key = state.block_key
@@ -324,7 +333,7 @@ def _allocate_unique(state: MapState, keys, cfg: MapConfig
         win = contend & (claim[slots] == inst)
         rank = jnp.cumsum(win.astype(jnp.int32)) - 1 + alloc_base
         can = win & (rank < n_free)
-        pslot = free_slots[jnp.clip(rank, 0, n_pool - 1)]
+        pslot = free_stack[jnp.clip(n_free - 1 - rank, 0, n_pool - 1)]
         table_key = table_key.at[jnp.where(can, slots, h)].set(
             keys, mode="drop")
         table_val = table_val.at[jnp.where(can, slots, h)].set(
@@ -336,7 +345,8 @@ def _allocate_unique(state: MapState, keys, cfg: MapConfig
         pending &= ~win
 
     return state._replace(table_key=table_key, table_val=table_val,
-                          block_key=block_key), alloc_base
+                          block_key=block_key,
+                          n_free=n_free - alloc_base), alloc_base
 
 
 def _table_insert(table_key, table_val, keys, vals, pending, cfg: MapConfig):
@@ -496,6 +506,14 @@ def delete_blocks(state: MapState, pool_indices, delete_mask,
         done |= hit
     n_deleted = jnp.sum(delete_mask.astype(jnp.int32))
 
+    # Push freed slots onto the free stack (appendHeap analog). Callers
+    # pass duplicate-free pool index lists (compactify outputs), so each
+    # slot is pushed at most once.
+    drank = jnp.cumsum(delete_mask.astype(jnp.int32)) - 1
+    free_stack = state.free_stack.at[
+        jnp.where(delete_mask, state.n_free + drank, n)].set(
+        pool_indices, mode="drop")
+
     safe_idx = jnp.where(delete_mask, pool_indices, n)
     block_key = state.block_key.at[safe_idx].set(INVALID_KEY, mode="drop")
     zero_v = jnp.zeros((VOXELS_PER_BLOCK,), jnp.float32)
@@ -507,6 +525,8 @@ def delete_blocks(state: MapState, pool_indices, delete_mask,
     return state._replace(table_key=table_key, table_val=state.table_val,
                           block_key=block_key, sdf=sdf, weight=weight,
                           color=color, surf=surf,
+                          free_stack=free_stack,
+                          n_free=state.n_free + n_deleted,
                           n_tombstones=state.n_tombstones + n_deleted)
 
 
@@ -525,12 +545,19 @@ def rehash(state: MapState, cfg: MapConfig) -> MapState:
     table_key, table_val, inserted = _table_insert(
         table_key, table_val, keys, vals, pending, cfg)
     # Keys that fail re-insertion would be unreachable; drop them from the
-    # pool to preserve the table<->pool bijection invariant.
+    # pool (and return their slots to the free stack) to preserve the
+    # table<->pool bijection invariant.
     lost = pending & ~inserted
     n = cfg.num_blocks
     block_key = keys.at[jnp.where(lost, vals, n)].set(INVALID_KEY, mode="drop")
+    lrank = jnp.cumsum(lost.astype(jnp.int32)) - 1
+    free_stack = state.free_stack.at[
+        jnp.where(lost, state.n_free + lrank, n)].set(vals, mode="drop")
     return state._replace(table_key=table_key, table_val=table_val,
                           block_key=block_key,
+                          free_stack=free_stack,
+                          n_free=state.n_free
+                          + jnp.sum(lost.astype(jnp.int32)),
                           n_tombstones=jnp.int32(0))
 
 
@@ -603,6 +630,17 @@ def check_invariants(state: MapState, cfg: MapConfig) -> dict:
     true_surf = np.any((w > 0) & (np.abs(s) < cfg.voxel_size), axis=1)
     surf_missing = int(np.sum(true_surf & ~surf & ~free))
 
+    # 7. Free-stack partition: free_stack[0:n_free] is exactly the set of
+    #    free pool slots (the reference's heap partition check,
+    #    "HEAP CORRUPTED" / "memory leak detected",
+    #    CUDASceneRepHashSDF.h:129-233).
+    n_free = int(state.n_free)
+    stack = np.asarray(state.free_stack)[:max(n_free, 0)]
+    free_set = np.flatnonzero(free)
+    stack_bad = (0 if (n_free == len(free_set)
+                       and np.array_equal(np.sort(stack), free_set))
+                 else 1 + abs(n_free - len(free_set)))
+
     return {
         "duplicate_table_vals": dup_vals,
         "duplicate_table_keys": dup_keys,
@@ -611,4 +649,5 @@ def check_invariants(state: MapState, cfg: MapConfig) -> dict:
         "nonzero_free_voxels": nonzero_free,
         "surf_flag_on_free": surf_on_free,
         "surf_flag_missing": surf_missing,
+        "free_stack_mismatch": stack_bad,
     }

@@ -189,13 +189,20 @@ def alloc_candidates(depth, pose, cam: CameraConfig, cfg: MapConfig,
     h, w = depth.shape
     if tile > 1 and h % tile == 0 and w % tile == 0:
         ht, wt = h // tile, w // tile
-        d4 = depth.reshape(ht, tile, wt, tile)
-        pv = jnp.isfinite(d4) & (d4 > 0.0) \
-            & (d4 < cfg.max_integration_distance)
+        pv = jnp.isfinite(depth) & (depth > 0.0) \
+            & (depth < cfg.max_integration_distance)
         inf = jnp.float32(jnp.inf)
-        dmin = jnp.min(jnp.where(pv, d4, inf), axis=(1, 3)).reshape(-1)
-        dmax = jnp.max(jnp.where(pv, d4, -inf), axis=(1, 3)).reshape(-1)
-        any_v = jnp.any(pv, axis=(1, 3)).reshape(-1)
+        lo = jnp.where(pv, depth, inf)
+        hi = jnp.where(pv, depth, -inf)
+        # Pool with strided slices (fast on TPU) instead of a [ht,t,wt,t]
+        # reshape-reduce (minor-axis split = lane shuffles).
+        for ax, sl in ((1, lambda a, o: a[:, o::tile]),
+                       (0, lambda a, o: a[o::tile, :])):
+            lo = jnp.min(jnp.stack([sl(lo, o) for o in range(tile)]), axis=0)
+            hi = jnp.max(jnp.stack([sl(hi, o) for o in range(tile)]), axis=0)
+        dmin = lo.reshape(-1)
+        dmax = hi.reshape(-1)
+        any_v = jnp.isfinite(dmin)
         dmin = jnp.where(any_v, dmin, 1.0)
         dmax = jnp.where(any_v, dmax, 1.0)
         # tile-centre ray direction (pixel-footprint error << block size)
