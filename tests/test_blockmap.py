@@ -250,3 +250,43 @@ class TestGatherVoxels:
         sdf, w, _ = blockmap.gather_voxels(state, vox[None], cfg)
         assert abs(float(sdf[0]) - 0.25) < 1e-6
         assert float(w[0]) == 7.0
+
+
+class TestFreeStack:
+    """The incremental free-slot stack (d_heap/d_heapCounter analog):
+    conservation through allocate -> delete -> re-allocate cycles."""
+
+    def test_counter_tracks_pool(self):
+        rng = np.random.default_rng(7)
+        state = blockmap.create(SMALL)
+        assert int(state.n_free) == SMALL.num_blocks
+        keys, _ = random_keys(rng, 60)
+        state, n = blockmap.allocate(state, jnp.asarray(keys), SMALL)
+        assert int(state.n_free) == SMALL.num_blocks - int(n)
+        assert_healthy(state, SMALL)
+
+        # delete a third, stack grows back
+        idx, total = blockmap.compactify_all(state, SMALL)
+        mask = (jnp.arange(idx.shape[0]) < total) & (idx % 3 == 0)
+        n_del = int(mask.sum())
+        state = blockmap.delete_blocks(state, idx, mask, SMALL)
+        assert int(state.n_free) == SMALL.num_blocks - int(n) + n_del
+        assert_healthy(state, SMALL)
+
+        # re-offer every original key: deleted ones re-allocate from the
+        # stack, resident ones are dropped by the pre-drop
+        state, n2 = blockmap.allocate(state, jnp.asarray(keys), SMALL)
+        assert int(n2) == n_del
+        assert int(state.n_free) == SMALL.num_blocks - int(n)
+        assert_healthy(state, SMALL)
+
+    def test_rehash_returns_lost_slots(self):
+        rng = np.random.default_rng(11)
+        state = blockmap.create(SMALL)
+        keys, _ = random_keys(rng, 100)
+        state, n = blockmap.allocate(state, jnp.asarray(keys), SMALL)
+        state = blockmap.rehash(state, SMALL)
+        assert_healthy(state, SMALL)
+        assert int(state.n_free) + int(
+            (np.asarray(state.block_key) != int(INVALID_KEY)).sum()) \
+            == SMALL.num_blocks

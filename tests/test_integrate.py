@@ -167,3 +167,43 @@ class TestGarbageCollect:
                                   CFG.voxel_size)
         _, w, _ = blockmap.gather_voxels(state, vox, CFG)
         assert float(w[0]) > 0
+
+
+class TestTiledAllocCandidates:
+    """Online tile decimation (MapConfig.alloc_tile): two rays per 2x2
+    tile must cover (nearly) the per-pixel key set, and anything extra
+    must be adjacent to it (band extension across tile depth spreads)."""
+
+    def _key_sets(self, depth, pose):
+        k1 = np.asarray(integrate.alloc_candidates(depth, pose, CAM, CFG))
+        k2 = np.asarray(integrate.alloc_candidates(depth, pose, CAM, CFG,
+                                                   tile=2))
+        s1 = set(k1[k1 != int(INVALID_KEY)].tolist())
+        s2 = set(k2[k2 != int(INVALID_KEY)].tolist())
+        return s1, s2
+
+    def test_flat_scene_tile_covers_per_pixel(self):
+        depth, _ = wall_depth()
+        s1, s2 = self._key_sets(depth, jnp.eye(4))
+        assert len(s1 & s2) / len(s1) > 0.95
+        # stream is 2S/(fold*tile^2) = shorter than the per-pixel stream
+        assert (CFG.alloc_fold_tile * depth.size // 4
+                < CFG.alloc_fold * depth.size)
+
+    def test_depth_discontinuity_covers_both_sides(self):
+        # half the image at 1.0 m, half at 2.2 m: both surfaces' bands
+        # must allocate (the min/max tile rays), even at the seam tiles
+        depth = jnp.full((60, 80), 1.0).at[:, 40:].set(2.2)
+        s1, s2 = self._key_sets(depth, jnp.eye(4))
+        assert len(s1 & s2) / len(s1) > 0.9
+        near = {k for k in s1 if True}
+        # extras must be within 1 block (Chebyshev) of a per-pixel key
+        wb = CFG.world_blocks
+        def unpack(ks):
+            a = np.array(sorted(ks), np.int64)
+            return np.stack([a % wb, (a // wb) % wb, a // (wb * wb)], 1)
+        extra = s2 - s1
+        if extra:
+            a, b = unpack(extra), unpack(s1)
+            d = np.abs(a[:, None, :] - b[None, :, :]).max(-1).min(-1)
+            assert d.max() <= 2
