@@ -97,7 +97,7 @@ def main():
 
     # how many new keys per steady frame?
     uni = upto_staging(keys)
-    _, found = blockmap.lookup(state, uni, mp)
+    _, found = blockmap.lookup(state.map, uni, mp)
     print("unique candidates:", int(jnp.sum(uni != INVALID_KEY)),
           "already resident:", int(jnp.sum(found)))
 

@@ -280,6 +280,38 @@ class TestFreeStack:
         assert int(state.n_free) == SMALL.num_blocks - int(n)
         assert_healthy(state, SMALL)
 
+    def test_rehash_zeroes_lost_slot_voxels(self):
+        # Force re-insertion failures: with max_probes=1, three keys
+        # sharing the single probe slot mean rehash keeps one and LOSES
+        # two. Lost slots return to the TOP of the free stack (popped
+        # first by the next allocate), so their voxel rows must be zeroed
+        # or stale TSDF leaks straight into the next allocated key.
+        cfg = dataclasses.replace(SMALL, max_probes=1)
+        cand = jnp.arange(1, 4096, dtype=jnp.int32)
+        slots = np.asarray(blockmap._probe_slot(cand, 0, cfg.table_size))
+        vals, counts = np.unique(slots, return_counts=True)
+        assert counts.max() >= 3
+        slot = vals[np.argmax(counts)]
+        keys = np.asarray(cand)[slots == slot][:3].astype(np.int32)
+
+        state = blockmap.create(cfg)
+        nb = cfg.num_blocks
+        state = state._replace(
+            block_key=state.block_key.at[:3].set(jnp.asarray(keys)),
+            sdf=state.sdf.at[:3].set(0.5),
+            weight=state.weight.at[:3].set(2.0),
+            color=state.color.at[:3].set(jnp.uint32(0xABCDEF)),
+            surf=state.surf.at[:3].set(True),
+            free_stack=jnp.concatenate(
+                [jnp.arange(3, nb, dtype=jnp.int32),
+                 jnp.zeros((3,), jnp.int32)]),
+            n_free=jnp.int32(nb - 3),
+        )
+        state = blockmap.rehash(state, cfg)
+        assert int(state.n_free) == nb - 1
+        # invariants 5/6/7: free rows zero, no surf on free, stack exact
+        assert_healthy(state, cfg)
+
     def test_rehash_returns_lost_slots(self):
         rng = np.random.default_rng(11)
         state = blockmap.create(SMALL)

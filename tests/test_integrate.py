@@ -190,6 +190,43 @@ class TestTiledAllocCandidates:
         assert (CFG.alloc_fold_tile * depth.size // 4
                 < CFG.alloc_fold * depth.size)
 
+    def test_static_camera_phase_rotation_converges(self):
+        # A 2x2 tile holding 3+ distinct surfaces only emits its min/max
+        # bands per frame; the rotating pooling-grid phase
+        # (alloc_candidates ``phase=frame``) must recover the mid-depth
+        # band across tile*tile frames even with a STATIC camera.
+        # Pattern: rows r%4 in {0,3} alternate 1.0/2.2 by column; rows
+        # r%4 in {1,2} are flat 1.5 — at phase 0 every tile brackets
+        # [1.0, 2.2] so the 1.5 band is strictly interior (missed), but
+        # phase py=1 groups the two 1.5 rows into their own tiles.
+        h, w = CAM.height, CAM.width
+        r = np.arange(h)[:, None] % 4
+        c = np.arange(w)[None, :] % 2
+        depth = np.where((r == 0) | (r == 3),
+                         np.where(c == 0, 1.0, 2.2), 1.5).astype(np.float32)
+        depth = jnp.asarray(np.broadcast_to(depth, (h, w)))
+        pose = jnp.eye(4)
+
+        k1 = np.asarray(integrate.alloc_candidates(depth, pose, CAM, CFG))
+        s1 = set(k1[k1 != int(INVALID_KEY)].tolist())
+
+        def tiled(phase):
+            k = np.asarray(integrate.alloc_candidates(
+                depth, pose, CAM, CFG, tile=2, phase=jnp.int32(phase)))
+            return set(k[k != int(INVALID_KEY)].tolist())
+
+        s_ph0 = tiled(0)
+        union = set()
+        for ph in range(4):
+            union |= tiled(ph)
+        missed0 = len(s1 - s_ph0)
+        missed_u = len(s1 - union)
+        # phase 0 alone demonstrably misses the mid-depth band...
+        assert missed0 > 0
+        # ...and the 4-phase union recovers (nearly) everything
+        assert missed_u < missed0
+        assert missed_u / len(s1) < 0.02, (missed_u, len(s1))
+
     def test_depth_discontinuity_covers_both_sides(self):
         # half the image at 1.0 m, half at 2.2 m: both surfaces' bands
         # must allocate (the min/max tile rays), even at the seam tiles

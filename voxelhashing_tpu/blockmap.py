@@ -506,9 +506,13 @@ def delete_blocks(state: MapState, pool_indices, delete_mask,
         done |= hit
     n_deleted = jnp.sum(delete_mask.astype(jnp.int32))
 
-    # Push freed slots onto the free stack (appendHeap analog). Callers
-    # pass duplicate-free pool index lists (compactify outputs), so each
-    # slot is pushed at most once.
+    # Push freed slots onto the free stack (appendHeap analog).
+    # CONTRACT: callers pass duplicate-free pool index lists (compactify
+    # outputs), so each slot is pushed at most once; a duplicate would
+    # double-push the slot and over-increment n_free (the same slot later
+    # handed to two keys). check_invariants() item 7 (free-stack
+    # partition) detects any violation post-hoc; tests assert it on the
+    # delete/streaming paths.
     drank = jnp.cumsum(delete_mask.astype(jnp.int32)) - 1
     free_stack = state.free_stack.at[
         jnp.where(delete_mask, state.n_free + drank, n)].set(
@@ -549,12 +553,24 @@ def rehash(state: MapState, cfg: MapConfig) -> MapState:
     # table<->pool bijection invariant.
     lost = pending & ~inserted
     n = cfg.num_blocks
-    block_key = keys.at[jnp.where(lost, vals, n)].set(INVALID_KEY, mode="drop")
+    safe_idx = jnp.where(lost, vals, n)
+    block_key = keys.at[safe_idx].set(INVALID_KEY, mode="drop")
+    # Lost slots go back on the free stack, so their voxel rows must be
+    # zeroed (the "free slots hold zero voxels" allocation precondition,
+    # invariants 5/6) — they land on TOP of the stack and are popped first,
+    # so stale TSDF would otherwise leak straight into the next alloc.
+    zero_v = jnp.zeros((VOXELS_PER_BLOCK,), jnp.float32)
+    sdf = state.sdf.at[safe_idx].set(zero_v, mode="drop")
+    weight = state.weight.at[safe_idx].set(zero_v, mode="drop")
+    color = state.color.at[safe_idx].set(
+        jnp.zeros((VOXELS_PER_BLOCK,), jnp.uint32), mode="drop")
+    surf = state.surf.at[safe_idx].set(False, mode="drop")
     lrank = jnp.cumsum(lost.astype(jnp.int32)) - 1
     free_stack = state.free_stack.at[
         jnp.where(lost, state.n_free + lrank, n)].set(vals, mode="drop")
     return state._replace(table_key=table_key, table_val=table_val,
                           block_key=block_key,
+                          sdf=sdf, weight=weight, color=color, surf=surf,
                           free_stack=free_stack,
                           n_free=state.n_free
                           + jnp.sum(lost.astype(jnp.int32)),

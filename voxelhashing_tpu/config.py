@@ -119,7 +119,10 @@ class MapConfig:
     # TWO rays actually, covering the tile's min-depth and max-depth
     # truncation bands, so both sides of a depth discontinuity allocate.
     # A tile's mid-range depths (3+ distinct surfaces in one 2x2 tile) are
-    # the only coverage loss; they retry next frame as sampling shifts —
+    # the only per-frame coverage loss; the engine rotates the pooling-
+    # grid origin through the tile*tile phases (alloc_candidates
+    # ``phase=frame``) so the same pixels regroup into different tiles
+    # each frame and mid-depth bands converge EVEN UNDER A STATIC CAMERA —
     # the reference's own online alloc is similarly incomplete per frame
     # (bucket-lock drops, CUDASceneRepHashSDF.cu allocBlock). The engine
     # uses tiles ONLINE only; offline fixpoint replay stays per-pixel

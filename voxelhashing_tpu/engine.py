@@ -88,7 +88,8 @@ def _integrate_frame(state: MapState, frame: FrameInputs, pose,
     # .alloc_tile); offline fixpoint replay keeps exact per-pixel coverage.
     keys = integ.alloc_candidates(
         frame.depth, pose, cam, mp,
-        tile=1 if cfg.offline else mp.alloc_tile)
+        tile=1 if cfg.offline else mp.alloc_tile,
+        phase=None if cfg.offline else frame_idx)
     if key_filter is not None:
         keys = key_filter(keys)
     if stream_bitmask is not None:

@@ -175,14 +175,19 @@ def _dedup_and_fold(k3, fold: int):
 
 
 def alloc_candidates(depth, pose, cam: CameraConfig, cfg: MapConfig,
-                     view_matrix=None, tile: int = 1):
+                     view_matrix=None, tile: int = 1, phase=None):
     """Block keys touched by the truncation bands of a depth frame.
 
     ``tile=1``: one DDA ray per pixel over [d-t, d+t] (allocKernel,
     CUDASceneRepHashSDF.cu:158-243) — exact, used by offline replay.
     ``tile>1``: TWO rays per ``tile x tile`` pixel tile (min-depth band +
     max-depth band, tile-centre direction) — the online fast path; see
-    ``MapConfig.alloc_tile`` for the coverage semantics.
+    ``MapConfig.alloc_tile`` for the coverage semantics. ``phase`` (traced
+    i32 scalar, typically the frame counter) rotates the pooling-grid
+    origin through the ``tile*tile`` offsets so a STATIC camera still
+    converges: a tile holding 3+ distinct surfaces only ever emits its
+    min/max bands, but under a rotated grid the same pixels regroup into
+    different tiles frame to frame, so mid-depth bands get their turn.
 
     Returns flat int32 keys; invalid entries are INVALID_KEY.
     """
@@ -194,6 +199,23 @@ def alloc_candidates(depth, pose, cam: CameraConfig, cfg: MapConfig,
         inf = jnp.float32(jnp.inf)
         lo = jnp.where(pv, depth, inf)
         hi = jnp.where(pv, depth, -inf)
+        if phase is not None:
+            # Shift the pooling grid by (py, px) pixels: roll the depth
+            # maps the other way and invalidate the wrapped border rows/
+            # cols (those pixels sit out this frame — drop-and-retry, same
+            # as the reference's contended-alloc drops).
+            ph = jnp.asarray(phase, jnp.int32)
+            py = ph % tile
+            px = (ph // tile) % tile
+            lo = jnp.roll(lo, (-py, -px), axis=(0, 1))
+            hi = jnp.roll(hi, (-py, -px), axis=(0, 1))
+            rows = jnp.arange(h, dtype=jnp.int32)[:, None]
+            cols = jnp.arange(w, dtype=jnp.int32)[None, :]
+            wrap = (rows >= h - py) | (cols >= w - px)
+            lo = jnp.where(wrap, inf, lo)
+            hi = jnp.where(wrap, -inf, hi)
+        else:
+            py = px = jnp.int32(0)
         # Pool with strided slices (fast on TPU) instead of a [ht,t,wt,t]
         # reshape-reduce (minor-axis split = lane shuffles).
         for ax, sl in ((1, lambda a, o: a[:, o::tile]),
@@ -205,9 +227,12 @@ def alloc_candidates(depth, pose, cam: CameraConfig, cfg: MapConfig,
         any_v = jnp.isfinite(dmin)
         dmin = jnp.where(any_v, dmin, 1.0)
         dmax = jnp.where(any_v, dmax, 1.0)
-        # tile-centre ray direction (pixel-footprint error << block size)
-        uc = (jnp.arange(wt, dtype=jnp.float32) + 0.5) * tile - 0.5
-        vc = (jnp.arange(ht, dtype=jnp.float32) + 0.5) * tile - 0.5
+        # tile-centre ray direction (pixel-footprint error << block size);
+        # the +phase offset keeps centres aligned with the shifted grid
+        uc = (jnp.arange(wt, dtype=jnp.float32) + 0.5) * tile - 0.5 \
+            + px.astype(jnp.float32)
+        vc = (jnp.arange(ht, dtype=jnp.float32) + 0.5) * tile - 0.5 \
+            + py.astype(jnp.float32)
         u = jnp.broadcast_to(uc[None, :], (ht, wt)).reshape(-1)
         v = jnp.broadcast_to(vc[:, None], (ht, wt)).reshape(-1)
         xn = (u - cam.cx) / cam.fx
