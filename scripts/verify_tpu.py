@@ -94,12 +94,13 @@ def main():
     out = jax.jit(lambda s, d, c, p, ai, na: integrate_pallas(
         s, d, c, p, cam, mp, ai, na))(
         state, depth, color, pose, active_idx, n_active)
-    w_ref = np.asarray(ref.weight)
-    w_out = np.asarray(out.weight)
+    w_ref = np.asarray(ref.weight, np.float32)
+    w_out = np.asarray(out.weight, np.float32)
     w_mismatch = np.abs(w_out - w_ref) > 1e-3
     nmis = int(w_mismatch.sum())
     agree = (w_ref > 0) & ~w_mismatch
-    s_err = np.abs(np.asarray(out.sdf)[agree] - np.asarray(ref.sdf)[agree])
+    s_err = np.abs(np.asarray(out.sdf, np.float32)[agree]
+                   - np.asarray(ref.sdf, np.float32)[agree])
     sdf_max = float(s_err.max()) if s_err.size else 0.0
     c_ref = np.asarray(ref.color)[agree]
     c_out = np.asarray(out.color)[agree]
@@ -108,7 +109,11 @@ def main():
         a = ((c_ref >> shift) & 0xFF).astype(np.int32)
         b = ((c_out >> shift) & 0xFF).astype(np.int32)
         c_err = max(c_err, int(np.abs(a - b).max()) if a.size else 0)
-    ok1 = (nmis < w_ref.size * 1e-4) and sdf_max < 5e-4 and c_err <= 1
+    # sdf bound: 5e-4 (the two paths recombine bf16-limb depth slightly
+    # differently in f32) + 2 POOL_DTYPE storage ulps (each path rounds
+    # its f32 result to bf16 independently; ulp = 2.44e-4 at |sdf| <=
+    # 0.0625 = truncation at the 4 m integration cap) -> < 1e-3
+    ok1 = (nmis < w_ref.size * 1e-4) and sdf_max < 1e-3 and c_err <= 1
     print(f"[{'PASS' if ok1 else 'FAIL'}] integrate pallas-vs-xla: "
           f"weight mismatches {nmis}/{w_ref.size}, sdf max err "
           f"{sdf_max:.2e} m, color max err {c_err}/255")

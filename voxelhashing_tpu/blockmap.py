@@ -34,6 +34,19 @@ from .geometry import INVALID_KEY
 TOMBSTONE = 0x7FFFFFFE  # Python int: a module-level jnp scalar would be a
 # captured device constant in every jit program (pathological on TPU runtimes)
 
+# Pool storage dtype for sdf and weight rows. bf16 (a) matches the
+# reference's 8-byte voxel memory envelope (float sdf + uchar weight +
+# uchar3 color, VoxelUtilHashSDF.h:76-88 -> here bf16 sdf + bf16 weight +
+# packed u32 color = 8 B/voxel) and (b) halves the row gather/scatter HBM
+# traffic around integrate/GC/splat — the largest single frame cost after
+# the kernels themselves. Precision: |sdf| <= truncation (~0.02-0.06 m),
+# so bf16's 8-bit mantissa gives <= ~1e-4 m absolute quantisation (way
+# under the 4 mm voxel size); weights are integer-valued and capped at
+# 255 (s_SDFIntegrationWeightMax), exactly representable in bf16.  All
+# fusion/sampling MATH stays f32: consumers upcast immediately after the
+# row gather and downcast only at the final store.
+POOL_DTYPE = jnp.bfloat16
+
 
 class MapState(NamedTuple):
     """Device-resident sparse TSDF map (a pytree of fixed-shape arrays).
@@ -91,8 +104,8 @@ def create(cfg: MapConfig) -> MapState:
         table_key=jnp.full((h,), INVALID_KEY, jnp.int32),
         table_val=jnp.zeros((h,), jnp.int32),
         block_key=jnp.full((n,), INVALID_KEY, jnp.int32),
-        sdf=jnp.zeros((n, VOXELS_PER_BLOCK), jnp.float32),
-        weight=jnp.zeros((n, VOXELS_PER_BLOCK), jnp.float32),
+        sdf=jnp.zeros((n, VOXELS_PER_BLOCK), POOL_DTYPE),
+        weight=jnp.zeros((n, VOXELS_PER_BLOCK), POOL_DTYPE),
         color=jnp.zeros((n, VOXELS_PER_BLOCK), jnp.uint32),
         surf=jnp.zeros((n,), bool),
         free_stack=jnp.arange(n, dtype=jnp.int32),
@@ -464,8 +477,11 @@ def gather_voxels_soa(state: MapState, vx, vy, vz, cfg: MapConfig,
     local = (jnp.remainder(vz, bs) * bs + jnp.remainder(vy, bs)) * bs \
         + jnp.remainder(vx, bs)
     lin = pool_idx * VOXELS_PER_BLOCK + local
-    sdf = jnp.where(found, state.sdf.reshape(-1)[lin], 0.0)
-    w = jnp.where(found, state.weight.reshape(-1)[lin], 0.0)
+    # gather in POOL_DTYPE (half the HBM traffic), upcast right after
+    sdf = jnp.where(found, state.sdf.reshape(-1)[lin].astype(jnp.float32),
+                    0.0)
+    w = jnp.where(found, state.weight.reshape(-1)[lin].astype(jnp.float32),
+                  0.0)
     if not with_color:
         if axis_name is not None:
             sdf = jax.lax.psum(sdf, axis_name)
@@ -520,7 +536,7 @@ def delete_blocks(state: MapState, pool_indices, delete_mask,
 
     safe_idx = jnp.where(delete_mask, pool_indices, n)
     block_key = state.block_key.at[safe_idx].set(INVALID_KEY, mode="drop")
-    zero_v = jnp.zeros((VOXELS_PER_BLOCK,), jnp.float32)
+    zero_v = jnp.zeros((VOXELS_PER_BLOCK,), POOL_DTYPE)
     sdf = state.sdf.at[safe_idx].set(zero_v, mode="drop")
     weight = state.weight.at[safe_idx].set(zero_v, mode="drop")
     color = state.color.at[safe_idx].set(
@@ -559,7 +575,7 @@ def rehash(state: MapState, cfg: MapConfig) -> MapState:
     # zeroed (the "free slots hold zero voxels" allocation precondition,
     # invariants 5/6) — they land on TOP of the stack and are popped first,
     # so stale TSDF would otherwise leak straight into the next alloc.
-    zero_v = jnp.zeros((VOXELS_PER_BLOCK,), jnp.float32)
+    zero_v = jnp.zeros((VOXELS_PER_BLOCK,), POOL_DTYPE)
     sdf = state.sdf.at[safe_idx].set(zero_v, mode="drop")
     weight = state.weight.at[safe_idx].set(zero_v, mode="drop")
     color = state.color.at[safe_idx].set(
@@ -635,14 +651,15 @@ def check_invariants(state: MapState, cfg: MapConfig) -> dict:
     unreachable = int(len(np.setdiff1d(allocated, live_vals)))
     # 5. Free slots hold zero voxels (allocation precondition).
     free = block_key == inv_key
-    nonzero_free = int(np.sum(np.asarray(state.weight)[free].sum(axis=-1) > 0))
+    nonzero_free = int(np.sum(
+        np.asarray(state.weight).astype(np.float32)[free].sum(axis=-1) > 0))
     # 6. Surface flags: never set on free slots, and never stale-FALSE on
     #    a block that actually holds surface voxels (stale-TRUE after
     #    starvation is allowed — the splat cull only over-includes).
     surf = np.asarray(state.surf)
     surf_on_free = int(np.sum(surf & free))
-    w = np.asarray(state.weight)
-    s = np.asarray(state.sdf)
+    w = np.asarray(state.weight).astype(np.float32)
+    s = np.asarray(state.sdf).astype(np.float32)
     true_surf = np.any((w > 0) & (np.abs(s) < cfg.voxel_size), axis=1)
     surf_missing = int(np.sum(true_surf & ~surf & ~free))
 

@@ -394,8 +394,9 @@ def integrate(state: MapState, depth, color, pose, cam: CameraConfig,
     else:
         c_new = jnp.full(sdf.shape, jnp.uint32(0x00FF00))    # debug green
 
-    old_sdf = state.sdf[active_idx]
-    old_w = state.weight[active_idx]
+    # rows gathered in POOL_DTYPE (bf16), fusion math in f32
+    old_sdf = state.sdf[active_idx].astype(jnp.float32)
+    old_w = state.weight[active_idx].astype(jnp.float32)
     old_c = state.color[active_idx]
 
     new_w_sum = old_w + w_new
@@ -405,14 +406,19 @@ def integrate(state: MapState, depth, color, pose, cam: CameraConfig,
     # carried out per channel on the packed u32s.
     fused_c = _blend_packed(old_c, c_new)
 
-    out_sdf = jnp.where(update, fused_sdf, old_sdf)
-    out_w = jnp.where(update, fused_w, old_w)
+    # downcast at the store (unchanged rows round-trip bf16->f32->bf16
+    # exactly); surface flags / GC stats are computed from the ROUNDED
+    # values so they agree bit-for-bit with what readers see in the pool
+    out_sdf = jnp.where(update, fused_sdf, old_sdf).astype(
+        blockmap.POOL_DTYPE)
+    out_w = jnp.where(update, fused_w, old_w).astype(blockmap.POOL_DTYPE)
     out_c = jnp.where(update, fused_c, old_c)
 
     # persistent surface flags (read by the splat cull): recomputed for
-    # every integrated block from its fused rows
-    out_surf = jnp.any((out_w > 0.0)
-                       & (jnp.abs(out_sdf) < cfg.voxel_size), axis=1)
+    # every integrated block from its fused (stored-precision) rows
+    out_surf = jnp.any((out_w.astype(jnp.float32) > 0.0)
+                       & (jnp.abs(out_sdf.astype(jnp.float32))
+                          < cfg.voxel_size), axis=1)
 
     safe_idx = jnp.where(active_mask, active_idx, cfg.num_blocks)
     return state._replace(
@@ -496,8 +502,10 @@ def _blend_packed(old_c, new_c):
 def starve(state: MapState, active_idx, active_mask) -> MapState:
     """Decrement every active voxel weight by 1 (starveVoxelsKernel,
     CUDASceneRepHashSDF.cu:512-536), clamped at 0."""
+    # weights are integer-valued <= 255: exact in bf16, so the decrement
+    # can run in POOL_DTYPE directly (no upcast round trip)
     w = state.weight[active_idx]
-    w = jnp.maximum(w - 1.0, 0.0)
+    w = jnp.maximum(w - jnp.asarray(1.0, w.dtype), jnp.asarray(0.0, w.dtype))
     safe_idx = jnp.where(active_mask, active_idx,
                          state.weight.shape[0])
     return state._replace(weight=state.weight.at[safe_idx].set(w, mode="drop"))
@@ -521,8 +529,8 @@ def garbage_collect(state: MapState, active_idx, active_mask,
     if cached_stats is not None:
         min_sdf, max_w = cached_stats
     else:
-        sdf = state.sdf[active_idx]
-        w = state.weight[active_idx]
+        sdf = state.sdf[active_idx].astype(jnp.float32)
+        w = state.weight[active_idx].astype(jnp.float32)
         inf = jnp.float32(jnp.inf)
         abs_sdf = jnp.where(w > 0.0, jnp.abs(sdf), inf)
         min_sdf = jnp.min(abs_sdf, axis=-1)

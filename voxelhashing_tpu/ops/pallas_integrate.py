@@ -207,8 +207,8 @@ def _make_kernel(cam: CameraConfig, cfg: MapConfig, wcols: int):
         depth01 = (d - dmin) / (dmax - dmin)
         w_new = jnp.maximum(iws * 1.5 * (1.0 - depth01), 1.0)
 
-        osdf = osdf_ref[:, :]                             # [B,512] f32
-        ow = ow_ref[:, :]
+        osdf = osdf_ref[:, :].astype(jnp.float32)         # [B,512] bf16->f32
+        ow = ow_ref[:, :].astype(jnp.float32)
         oc = oc_ref[:, :]                                 # i32 0x00RRGGBB
         o_r = ((oc >> 16) & 0xFF).astype(jnp.float32)
         o_g = ((oc >> 8) & 0xFF).astype(jnp.float32)
@@ -224,14 +224,19 @@ def _make_kernel(cam: CameraConfig, cfg: MapConfig, wcols: int):
                | (f_g.astype(jnp.int32) << 8)
                | f_b.astype(jnp.int32))
 
-        new_sdf = jnp.where(update, f_sdf, osdf)
-        new_w = jnp.where(update, f_w, ow)
-        nsdf_ref[:, :] = new_sdf
-        nw_ref[:, :] = new_w
+        # store in POOL_DTYPE (bf16); stats/flags below are computed from
+        # the ROUNDED values so they agree bit-for-bit with what readers
+        # (splat cull, GC, check_invariants) see in the pool
+        new_sdf_st = jnp.where(update, f_sdf, osdf).astype(jnp.bfloat16)
+        new_w_st = jnp.where(update, f_w, ow).astype(jnp.bfloat16)
+        nsdf_ref[:, :] = new_sdf_st
+        nw_ref[:, :] = new_w_st
         nc_ref[:, :] = jnp.where(update, f_c, oc)
         # per-block stats while rows are in registers: surface flag (splat
         # cull input), min |sdf| over weighted voxels and max weight (the
-        # garbageCollectIdentify inputs — saves GC's 134 MB row re-read)
+        # garbageCollectIdentify inputs — saves GC's row re-read)
+        new_sdf = new_sdf_st.astype(jnp.float32)
+        new_w = new_w_st.astype(jnp.float32)
         abs_s = jnp.abs(new_sdf)
         sflag = jnp.any((new_w > 0.0) & (abs_s < vsz),
                         axis=1, keepdims=True).astype(jnp.float32)
@@ -294,8 +299,8 @@ def _run_fused(img, pb, win, aff, old_sdf, old_w, old_c, g, cam, cfg,
     nsdf, nw, nc, nstat = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct(vshape, jnp.float32),
-                   jax.ShapeDtypeStruct(vshape, jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct(vshape, jnp.bfloat16),
+                   jax.ShapeDtypeStruct(vshape, jnp.bfloat16),
                    jax.ShapeDtypeStruct(vshape, jnp.int32),
                    jax.ShapeDtypeStruct((gp, 4), jnp.float32)],
         interpret=interpret,

@@ -91,8 +91,8 @@ def _make_kernel(cam: CameraConfig, cfg: MapConfig, hpad: int, wpad: int):
         px = pbx + a_ref[0:1, :]
         py = pby + a_ref[1:2, :]
         pz = pbz + a_ref[2:3, :]                          # [B,512]
-        sdf = sdf_ref[:, :]
-        wgt = wgt_ref[:, :]
+        sdf = sdf_ref[:, :].astype(jnp.float32)           # POOL_DTYPE rows
+        wgt = wgt_ref[:, :].astype(jnp.float32)
         surface = (wgt > 0.0) & (jnp.abs(sdf) < vs)
         z_surf = pz + sdf
         safe_z = jnp.where(pz == 0.0, 1e-12, pz)

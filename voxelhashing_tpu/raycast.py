@@ -390,6 +390,8 @@ def _splat_zbuf(state: MapState, sdf, wgt, sel_active, row_mask, view,
     h, w = cam.height, cam.width
     p = h * w
     vs = cfg.voxel_size
+    sdf = sdf.astype(jnp.float32)        # POOL_DTYPE rows -> f32 math
+    wgt = wgt.astype(jnp.float32)
 
     # --- Per-voxel projection (all [M,512] SoA). -------------------------
     blocks = geom.unpack_block_key(state.block_key[sel_active],

@@ -124,8 +124,11 @@ def insert_blocks(state: MapState, keys, sdf, weight, color,
     pool_idx, found = blockmap.lookup(state, keys, cfg)
     ok = found & (keys != INVALID_KEY)
     safe = jnp.where(ok, pool_idx, cfg.num_blocks)
-    surf = jnp.any((weight > 0.0)
-                   & (jnp.abs(sdf) < cfg.voxel_size), axis=1)
+    sdf = jnp.asarray(sdf).astype(state.sdf.dtype)        # -> POOL_DTYPE
+    weight = jnp.asarray(weight).astype(state.weight.dtype)
+    surf = jnp.any((weight.astype(jnp.float32) > 0.0)
+                   & (jnp.abs(sdf.astype(jnp.float32)) < cfg.voxel_size),
+                   axis=1)
     return state._replace(
         sdf=state.sdf.at[safe].set(sdf, mode="drop"),
         weight=state.weight.at[safe].set(weight, mode="drop"),
@@ -164,6 +167,11 @@ class PyChunkStore:
         return tuple((b // self.bpc).tolist())
 
     def file_blocks(self, keys, sdf, weight, color):
+        # device rows arrive in POOL_DTYPE (bf16 over the wire — half the
+        # D2H traffic); the host store keeps plain f32 so numpy ops and
+        # np.savez work everywhere downstream
+        sdf = np.asarray(sdf, np.float32)
+        weight = np.asarray(weight, np.float32)
         for i, key in enumerate(np.asarray(keys).tolist()):
             cc = self._chunk_of_key(key)
             ch = self.chunks.get(cc)
@@ -647,8 +655,10 @@ def save_map(path: str, state: MapState, cfg: MapConfig,
     n = int(n)
     idx = active_idx[:max(n, 1)]
     keys = np.asarray(state.block_key[idx])[:n]
-    sdf = np.asarray(state.sdf[idx])[:n]
-    weight = np.asarray(state.weight[idx])[:n]
+    # checkpoints stay f32 on disk (np.savez has no bf16; also keeps the
+    # format stable across POOL_DTYPE choices)
+    sdf = np.asarray(state.sdf[idx], np.float32)[:n]
+    weight = np.asarray(state.weight[idx], np.float32)[:n]
     color = np.asarray(state.color[idx])[:n]
     np.savez_compressed(
         path, version=CHECKPOINT_VERSION,
