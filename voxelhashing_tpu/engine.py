@@ -72,7 +72,7 @@ def create(cfg: EngineConfig, initial_pose=None) -> EngineState:
 
 def _integrate_frame(state: MapState, frame: FrameInputs, pose,
                      cfg: EngineConfig, frame_idx, stream_bitmask=None,
-                     map_cfg=None, key_filter=None):
+                     map_cfg=None, key_filter=None, reuse_active=None):
     """alloc -> compactify -> integrate -> gc (CUDASceneRepHashSDF::integrate,
     CUDASceneRepHashSDF.h:64-83).
 
@@ -81,6 +81,16 @@ def _integrate_frame(state: MapState, frame: FrameInputs, pose,
     candidate keys (the distributed step drops keys its device does not
     own) — this single function IS the integrate pipeline for both the
     single-device and the shard_map engines.
+
+    ``reuse_active``: optional ``(active_idx, n_active, overflow)`` from
+    the raycast-pose compactify earlier in the step. When given, the
+    second per-frame compactify is skipped: the integrate list = that
+    list + this frame's newly allocated pool slots (read straight off the
+    free stack's popped window). Blocks that entered the frustum through
+    THIS frame's camera motion while already resident integrate one frame
+    late — the same drop-and-retry tolerance as the reference's online
+    alloc (CUDASceneRepHashSDF.h:251-267). Offline replay and the
+    distributed step keep the exact per-pose compactify.
     """
     cam = cfg.camera
     mp = map_cfg if map_cfg is not None else cfg.map
@@ -104,6 +114,7 @@ def _integrate_frame(state: MapState, frame: FrameInputs, pose,
     # frame — the reference's bucket-lock drop semantics); offline replay
     # runs a bounded fixpoint loop (CUDASceneRepHashSDF.h:251-267).
     rounds = mp.alloc_rounds_offline if cfg.offline else 1
+    n_free_before = state.n_free
     state, _ = blockmap.allocate(state, keys, mp, rounds=rounds)
     if cfg.offline:
         # Exact fixpoint check (off the real-time path): candidate
@@ -113,8 +124,28 @@ def _integrate_frame(state: MapState, frame: FrameInputs, pose,
             ((keys != geom.INVALID_KEY) & ~found).astype(jnp.int32))
     else:
         alloc_missed = jnp.int32(0)
-    view = geom.invert_rigid(pose)
-    active_idx, n_active, overflow = blockmap.compactify(state, view, cam, mp)
+    if reuse_active is not None:
+        active_idx, n_active, overflow = reuse_active
+        cap_a = active_idx.shape[0]
+        # This frame's new pool slots are exactly the free stack's popped
+        # window [n_free_after, n_free_before) (pops only decrement the
+        # counter; the slot values stay in place) — append them to the
+        # packed active list, no second compactify.
+        n_new = n_free_before - state.n_free
+        cap_ins = rounds * mp.alloc_insert_cap
+        j = jnp.arange(cap_ins, dtype=jnp.int32)
+        slots_new = state.free_stack[
+            jnp.clip(state.n_free + j, 0, mp.num_blocks - 1)]
+        pos = n_active + j
+        put = (j < n_new) & (pos < cap_a)
+        active_idx = active_idx.at[jnp.where(put, pos, cap_a)].set(
+            slots_new, mode="drop")
+        overflow = overflow + jnp.maximum(n_active + n_new - cap_a, 0)
+        n_active = jnp.minimum(n_active + n_new, cap_a)
+    else:
+        view = geom.invert_rigid(pose)
+        active_idx, n_active, overflow = blockmap.compactify(state, view,
+                                                             cam, mp)
     active_mask = jnp.arange(active_idx.shape[0]) < n_active
     gc_stats = None
     if jax.default_backend() == "tpu" and not mp.bilinear_color:
@@ -172,8 +203,8 @@ def step(state: EngineState, depth_raw, color_raw, cfg: EngineConfig,
     if cfg.use_trajectory_only_init and pose_hint is not None:
         raycast_pose = jnp.asarray(pose_hint, jnp.float32)
     view = geom.invert_rigid(raycast_pose)
-    active_idx, n_active, _ = blockmap.compactify(state.map, view, cam,
-                                                  cfg.map)
+    active_idx, n_active, overflow0 = blockmap.compactify(state.map, view,
+                                                          cam, cfg.map)
     active_mask = jnp.arange(active_idx.shape[0]) < n_active
     model = raycast.render(state.map, raycast_pose, cam, cfg.map, cfg.raycast,
                            active_idx=active_idx, active_mask=active_mask,
@@ -207,10 +238,15 @@ def step(state: EngineState, depth_raw, color_raw, cfg: EngineConfig,
             iter_residuals=jnp.where(is_first, zcurve, tr.iter_residuals))
 
     # --- Integration (skipped when tracking lost, DepthSensing.cpp:874-879).
+    # Online: reuse the raycast-pose compactify above + this frame's new
+    # slots (one compactify per frame); offline keeps the exact
+    # new-pose compactify (fixpoint semantics).
+    reuse = None if cfg.offline else (active_idx, n_active, overflow0)
+
     def do_integrate(m):
         new_map, _, _, n_act, ovf, missed = _integrate_frame(
             m, frame, tr.pose, cfg, state.frame,
-            stream_bitmask=stream_bitmask)
+            stream_bitmask=stream_bitmask, reuse_active=reuse)
         return new_map, n_act, ovf, missed
 
     def skip_integrate(m):
