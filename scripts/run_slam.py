@@ -185,6 +185,9 @@ def main():
                     help="keyframe pose graph + loop closure + optimization")
     ap.add_argument("--record", default=None,
                     help="record the replayed sequence to a .sens file")
+    ap.add_argument("--rgbd", action="store_true",
+                    help="joint photometric+geometric tracking (the "
+                    "reference's useRGBDTracking variant)")
     ap.add_argument("--log", default=None,
                     help="redirect stdout to a log file (StdOutputLogger)")
     args = ap.parse_args()
@@ -202,6 +205,9 @@ def main():
                                   streaming as streaming_mod)
 
     cfg = build_config(args.preset, args.streaming)
+    if args.rgbd:
+        cfg = dataclasses.replace(
+            cfg, tracker=dataclasses.replace(cfg.tracker, use_rgbd=True))
     if args.gt:
         cfg = dataclasses.replace(cfg, use_trajectory=True)
     elif args.gt_init:

@@ -113,3 +113,18 @@ class TestEngineFreeTracking:
         from voxelhashing_tpu import blockmap
         viol = blockmap.check_invariants(state.map, CFG.map)
         assert all(v == 0 for v in viol.values()), viol
+
+    def test_rgbd_tracking_mode(self):
+        """Engine-level joint photometric+geometric tracking
+        (TrackerConfig.use_rgbd — the reference's useRGBDTracking variant,
+        DepthSensing.cpp:816): model rendered WITH color, intensity
+        residuals join the system; the sequence must track comparably to
+        depth-only."""
+        import dataclasses
+        cfg = dataclasses.replace(
+            CFG, tracker=dataclasses.replace(CFG.tracker, use_rgbd=True,
+                                             weight_color=0.05))
+        state, est, gt, diags = run_sequence(6, cfg=cfg)
+        assert all(bool(d.tracking_valid) for d in diags)
+        ate = evaluation.ate_rmse(est, gt)
+        assert ate < 0.012, ate

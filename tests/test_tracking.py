@@ -160,6 +160,51 @@ class TestRGBDTracking:
         assert trans < 7e-3, trans
         assert ang < 7e-3, ang
 
+    def test_textured_wall_degenerate_depth_tracked_by_rgbd(self):
+        # A bare wall is rank-deficient for point-to-plane ICP (3 free
+        # DoF: in-plane translation + in-plane rotation) — depth-only must
+        # flag lost. A TEXTURED wall constrains those DoF photometrically:
+        # the joint system (the reference's RGBD variant) must track a
+        # pure in-plane shift that depth cannot see at all.
+        h, w = CAM.height, CAM.width
+        z = 2.0
+        u = (np.arange(w, dtype=np.float32) - CAM.cx) / CAM.fx * z
+        v = (np.arange(h, dtype=np.float32) - CAM.cy) / CAM.fy * z
+        xw = np.broadcast_to(u[None, :], (h, w))
+        yw = np.broadcast_to(v[:, None], (h, w))
+
+        def plane_maps(tx):
+            # camera at (tx, 0, 0) looking at the z=2 wall: camera-space
+            # depth is unchanged; only the texture shifts
+            pts = np.stack([xw, yw, np.full((h, w), z, np.float32)], -1)
+            nrm = np.broadcast_to(
+                np.array([0.0, 0.0, -1.0], np.float32), (h, w, 3))
+            inten = (0.5 + 0.25 * np.sin(4.0 * (xw + tx))
+                     + 0.25 * np.cos(5.0 * (yw)))
+            return (jnp.asarray(pts), jnp.asarray(nrm),
+                    jnp.asarray(inten.astype(np.float32)))
+
+        m_pts, m_nrm, m_int = plane_maps(0.0)
+        tx = 0.01
+        i_pts, i_nrm, i_int = plane_maps(tx)
+
+        # depth-only: degenerate -> lost
+        res_d = tracking.track(i_pts, i_nrm, m_pts, m_nrm,
+                               jnp.eye(4), CAM, TK)
+        assert not bool(res_d.valid)
+
+        # joint RGB-D: recovers the in-plane shift
+        res = tracking.track(i_pts, i_nrm, m_pts, m_nrm,
+                             jnp.eye(4), CAM, TK,
+                             input_intensity=i_int, model_intensity=m_int,
+                             weight_depth=1.0, weight_color=1.0,
+                             color_sigma=0.5)
+        assert bool(res.valid)
+        gt = offset_pose(tx=tx)
+        trans, ang = pose_error(res.pose, gt)
+        assert trans < 2.5e-3, trans
+        assert ang < 2.5e-3, ang
+
     def test_intensity_gradients(self):
         img = jnp.asarray(np.tile(np.arange(8, dtype=np.float32), (6, 1)))
         gx, gy = tracking.intensity_gradients(img)

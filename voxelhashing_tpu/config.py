@@ -193,6 +193,18 @@ class TrackerConfig:
     # Below the gate, singular directions weaker than s0/cond_thres are
     # truncated rather than amplified (see tracking._solve6).
     cond_thres: float = 2.0e4
+    # Joint RGB-D (photometric + geometric) tracking — the reference's
+    # CUDACameraTrackingMultiResRGBD variant, compiled in but disabled by
+    # default (const bool useRGBDTracking = false, DepthSensing.cpp:816).
+    # When on, the engine renders the model WITH color and intensity
+    # residuals join the normal equations (tracking._build_system_color);
+    # weights mirror s_weightsDepth/s_weightsColor
+    # (GlobalCameraTrackingState.h:13-25).
+    use_rgbd: bool = False
+    weight_depth: float = 1.0
+    weight_color: float = 0.1
+    # photometric residual cutoff/falloff (|dI| >= sigma rejected)
+    color_sigma: float = 0.1
     # NOTE: the reference's s_ICPAngleThres is dead in its non-RGBD tracker
     # (the angleThres argument threaded through computeBestRigidAlignment is
     # shadowed by the per-level s_angleTransThres inside
@@ -425,6 +437,12 @@ def engine_config_from_parameters(params: dict,
             angle_trans_thres=vec("s_angleTransThres", tk.angle_trans_thres),
             dist_trans_thres=vec("s_distTransThres", tk.dist_trans_thres),
             residual_early_out=vec("s_residualEarlyOut", tk.residual_early_out),
+            # RGBD variant weights (GlobalCameraTrackingState.h:13-25);
+            # scalar here — the finest level's value is taken
+            weight_depth=float(vec("s_weightsDepth",
+                                   (tk.weight_depth,) * n)[0]),
+            weight_color=float(vec("s_weightsColor",
+                                   (tk.weight_color,) * n)[0]),
         )
     mesh = dataclasses.replace(
         cfg.mesh,

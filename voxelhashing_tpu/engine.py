@@ -206,9 +206,13 @@ def step(state: EngineState, depth_raw, color_raw, cfg: EngineConfig,
     active_idx, n_active, overflow0 = blockmap.compactify(state.map, view,
                                                           cam, cfg.map)
     active_mask = jnp.arange(active_idx.shape[0]) < n_active
+    # RGB-D tracking needs the model's intensity -> render with color
+    # (the reference's RGBD variant consumes the raycast color buffer,
+    # CUDACameraTrackingMultiResRGBD / CameraTrackingInput.h:17-27)
+    use_rgbd = cfg.tracker.use_rgbd and not cfg.use_trajectory
     model = raycast.render(state.map, raycast_pose, cam, cfg.map, cfg.raycast,
                            active_idx=active_idx, active_mask=active_mask,
-                           with_color=False)
+                           with_color=use_rgbd)
 
     # --- Tracking. --------------------------------------------------------
     if cfg.use_trajectory and pose_hint is not None:
@@ -223,9 +227,22 @@ def step(state: EngineState, depth_raw, color_raw, cfg: EngineConfig,
         last_pose = state.pose
         if cfg.use_trajectory_only_init and pose_hint is not None:
             last_pose = jnp.asarray(pose_hint, jnp.float32)
-        tr = tracking.track(frame.points, frame.normals,
-                            model.points, model.normals,
-                            last_pose, cam, cfg.tracker)
+        if use_rgbd and frame.intensity is not None:
+            from .ops.image import color_to_intensity
+            model_int = jnp.where(jnp.isfinite(model.depth),
+                                  color_to_intensity(model.color), jnp.nan)
+            tr = tracking.track(frame.points, frame.normals,
+                                model.points, model.normals,
+                                last_pose, cam, cfg.tracker,
+                                input_intensity=frame.intensity,
+                                model_intensity=model_int,
+                                weight_depth=cfg.tracker.weight_depth,
+                                weight_color=cfg.tracker.weight_color,
+                                color_sigma=cfg.tracker.color_sigma)
+        else:
+            tr = tracking.track(frame.points, frame.normals,
+                                model.points, model.normals,
+                                last_pose, cam, cfg.tracker)
         # Frame 0 has no model: keep the initial pose, mark valid.
         zstats, zcurve = tracking.empty_stats(cfg.tracker)
         tr = TrackingResult(

@@ -313,7 +313,8 @@ def _check_step(x, angle_thres: float, dist_thres: float):
 
 
 def _build_system_color(delta, in_pts, in_int, tgt_int, tgt_gx, tgt_gy,
-                        cam: CameraConfig, dist_sigma: float):
+                        cam: CameraConfig, dist_sigma: float,
+                        mean=None, inv_std=None):
     """Photometric (intensity) rows of the joint RGB-D system.
 
     The reference's RGBD variant adds intensity + intensity-derivative
@@ -321,20 +322,54 @@ def _build_system_color(delta, in_pts, in_int, tgt_int, tgt_gx, tgt_gy,
     ICPUtil.h dehomogenize-derivative :16-28): residual
     e = I_model(pi(delta p)) - I_input(p); the jacobian row is
     a = J_pi^T grad(I); j = [(p x a) reversed | a].
+
+    ``mean``/``inv_std``: the depth block's whitening moments. The solved
+    x parametrizes rotation about ``mean`` with translation ``x_t /
+    inv_std`` (see _pose_from_x_whitened), so the photometric rows must
+    be built in the SAME parametrization — rotation block
+    ``cross(p - mean, a)``, translation block ``a / inv_std`` — or the
+    joint solve mixes two coordinate frames and systematically
+    under-corrects translation.
     """
+    if mean is None:
+        mean = jnp.zeros((3,), jnp.float32)
+    if inv_std is None:
+        inv_std = jnp.float32(1.0)
     r = delta[:3, :3]
     p = in_pts @ r.T + delta[:3, 3]
 
-    uv = geom.camera_to_screen_int(p, cam)
-    ui = jnp.clip(uv[..., 0], 0, cam.width - 1)
-    vi = jnp.clip(uv[..., 1], 0, cam.height - 1)
-    on = ((uv[..., 0] >= 0) & (uv[..., 0] < cam.width)
-          & (uv[..., 1] >= 0) & (uv[..., 1] < cam.height))
-
-    i_t = tgt_int[vi, ui]
+    # Bilinear intensity sample at the CONTINUOUS projection (the
+    # reference's getValueNearestNeighbour->bilinear path in ICPUtil.h):
+    # nearest-pixel sampling aliases sub-pixel motion — the photometric
+    # residual then oscillates around the optimum instead of converging
+    # (a 0.65 px true shift reads as 1 px, the solver over-corrects,
+    # reads 0 px, under-corrects, ...). Gradients stay nearest-sampled.
+    safe_pz = jnp.where(p[..., 2] == 0.0, 1e-12, p[..., 2])
+    uf = p[..., 0] * cam.fx / safe_pz + cam.cx
+    vf = p[..., 1] * cam.fy / safe_pz + cam.cy
+    on = ((uf >= 0.0) & (uf <= cam.width - 1.0)
+          & (vf >= 0.0) & (vf <= cam.height - 1.0) & (p[..., 2] > 0.0))
+    uf_c = jnp.clip(uf, 0.0, cam.width - 1.0)
+    vf_c = jnp.clip(vf, 0.0, cam.height - 1.0)
+    u0 = jnp.clip(jnp.floor(uf_c).astype(jnp.int32), 0, cam.width - 2)
+    v0 = jnp.clip(jnp.floor(vf_c).astype(jnp.int32), 0, cam.height - 2)
+    fu = uf_c - u0.astype(jnp.float32)
+    fv = vf_c - v0.astype(jnp.float32)
+    i00 = tgt_int[v0, u0]
+    i01 = tgt_int[v0, u0 + 1]
+    i10 = tgt_int[v0 + 1, u0]
+    i11 = tgt_int[v0 + 1, u0 + 1]
+    i_t = ((1 - fv) * ((1 - fu) * i00 + fu * i01)
+           + fv * ((1 - fu) * i10 + fu * i11))
+    ui = jnp.clip(jnp.floor(uf_c + 0.5).astype(jnp.int32), 0, cam.width - 1)
+    vi = jnp.clip(jnp.floor(vf_c + 0.5).astype(jnp.int32), 0,
+                  cam.height - 1)
     gx = tgt_gx[vi, ui]
     gy = tgt_gy[vi, ui]
     e = i_t - in_int
+    # all four bilinear corners must be finite for a valid sample
+    fin_t = (jnp.isfinite(i00) & jnp.isfinite(i01)
+             & jnp.isfinite(i10) & jnp.isfinite(i11))
 
     z = jnp.where(p[..., 2] == 0.0, 1e-12, p[..., 2])
     # a = J_pi^T [gx, gy]
@@ -344,12 +379,12 @@ def _build_system_color(delta, in_pts, in_int, tgt_int, tgt_gx, tgt_gy,
     a = jnp.stack([ax, ay, az], axis=-1)
 
     ok = (on & jnp.all(jnp.isfinite(p), axis=-1) & jnp.isfinite(in_int)
-          & jnp.isfinite(i_t) & jnp.isfinite(gx) & jnp.isfinite(gy)
+          & fin_t & jnp.isfinite(gx) & jnp.isfinite(gy)
           & (jnp.abs(e) < dist_sigma))
     wgt = jnp.where(ok, 1.0 - jnp.abs(e) / dist_sigma, 0.0)
 
-    cr = jnp.cross(p, a)
-    j = jnp.concatenate([cr[..., ::-1], a], axis=-1)
+    cr = jnp.cross(p - mean, a)
+    j = jnp.concatenate([cr[..., ::-1], a / inv_std], axis=-1)
     j = jnp.where(ok[..., None], j, 0.0)
     e = jnp.where(ok, e, 0.0)
     jw = j * wgt[..., None]
@@ -444,7 +479,7 @@ def track(input_points, input_normals, model_points, model_normals,
                     gx, gy = intensity_gradients(mi_pyr[level])
                     a_c, b_c, res_c, w_c, n_c = _build_system_color(
                         delta, in_p, ii_pyr[level], mi_pyr[level], gx, gy,
-                        cam_l, color_sigma)
+                        cam_l, color_sigma, mean=mean, inv_std=inv_std)
                     a = weight_depth * a + weight_color * a_c
                     b = weight_depth * b + weight_color * b_c
                     sum_res = weight_depth * sum_res + weight_color * res_c
