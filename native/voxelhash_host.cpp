@@ -334,4 +334,125 @@ int64_t mesh_weld_save_ply(const char* path, const float* tris,
     return (int64_t)n_faces;
 }
 
+// ---------------------------------------------------------------------------
+// OCCI depth codec (TYPE_OCCI_USHORT — the reference's default .sens depth
+// codec, sensorData.h:1027-1028; bitstream grammar documented at
+// uplinksimple_image-codecs.h:160-176).  Clean-room implementation of the
+// documented grammar; the pure-Python version in io/sensfile.py is the
+// portable reference (bit-identical, differential-tested) but runs at
+// ~0.5 s per 640x480 frame — this is the real-time data-loader path.
+//
+//   00                 next value == last
+//   11 / 10            next == last +1 / -1
+//   010 bbbbb          next (N+5) values == last        (N in 5 bits)
+//   01101 / 01100      next == last +2 / -2
+//   0111 bbbbbbbbbbb   next == X                        (X in 11 bits)
+//
+// MSB-first bit order within bytes (matches the reference's bitstream_t).
+// Encode masks literals to 11 bits AND tracks the masked value as `last`
+// so encoder and decoder state never diverge (the reference's encoder
+// tracks the unmasked value and silently desyncs above 2047 — see the
+// sensfile.py module docstring; values >2047 are out of the codec's band
+// either way).
+
+extern "C" int occi_decode_u16(const uint8_t* buf, int64_t buf_len,
+                               uint16_t* out, int64_t n) {
+    int64_t bitpos = 0;
+    const int64_t nbits = buf_len * 8;
+    auto take = [&](int k) -> uint32_t {
+        uint32_t v = 0;
+        for (int i = 0; i < k; ++i) {
+            if (bitpos >= nbits) return v << (k - i);
+            v = (v << 1) | ((buf[bitpos >> 3] >> (7 - (bitpos & 7))) & 1);
+            ++bitpos;
+        }
+        return v;
+    };
+    uint16_t last = 0;
+    int64_t i = 0;
+    while (i < n && bitpos < nbits) {
+        if (take(1)) {                       // 1x: +/-1
+            last = take(1) ? (uint16_t)(last + 1) : (uint16_t)(last - 1);
+            out[i++] = last;
+        } else if (!take(1)) {               // 00: repeat one
+            out[i++] = last;
+        } else if (!take(1)) {               // 010: run of repeats
+            int64_t run = (int64_t)take(5) + 5;
+            if (run > n - i) run = n - i;
+            for (int64_t r = 0; r < run; ++r) out[i + r] = last;
+            i += run;
+        } else if (!take(1)) {               // 0110x: +/-2
+            last = take(1) ? (uint16_t)(last + 2) : (uint16_t)(last - 2);
+            out[i++] = last;
+        } else {                             // 0111: 11-bit literal
+            last = (uint16_t)take(11);
+            out[i++] = last;
+        }
+    }
+    return i == n ? 0 : -1;
+}
+
+namespace {
+struct BitWriter {
+    uint8_t* buf;
+    int64_t cap;
+    int64_t bitpos = 0;
+    bool overflow = false;
+    void put(uint32_t v, int k) {
+        if (((bitpos + k + 7) >> 3) > cap) { overflow = true; return; }
+        for (int i = k - 1; i >= 0; --i) {
+            uint8_t bit = (v >> i) & 1;
+            int64_t byte = bitpos >> 3;
+            int off = 7 - (int)(bitpos & 7);
+            if (bit) buf[byte] |= (uint8_t)(1u << off);
+            ++bitpos;
+        }
+    }
+};
+}  // namespace
+
+extern "C" int64_t occi_encode_u16(const uint16_t* in, int64_t n,
+                                   uint8_t* out, int64_t out_cap) {
+    std::memset(out, 0, (size_t)out_cap);
+    BitWriter bw{out, out_cap};
+    uint16_t last = 0;
+    int64_t zeros = 0;
+    auto burn = [&]() {
+        while (zeros > 0) {
+            if (zeros <= 4) {
+                for (int64_t z = 0; z < zeros; ++z) bw.put(0, 2);
+                zeros = 0;
+            } else {
+                int64_t enc = zeros - 5;
+                if (enc > 31) enc = 31;
+                bw.put(0x2, 3);              // 010
+                bw.put((uint32_t)enc, 5);
+                zeros -= enc + 5;
+            }
+        }
+    };
+    for (int64_t i = 0; i < n; ++i) {
+        uint16_t cur = in[i];
+        int delta = (int)cur - (int)last;
+        if (delta == 0) {
+            ++zeros;
+        } else {
+            burn();
+            if (delta == 1) bw.put(0x3, 2);          // 11
+            else if (delta == -1) bw.put(0x2, 2);    // 10
+            else if (delta == 2) bw.put(0xD, 5);     // 01101
+            else if (delta == -2) bw.put(0xC, 5);    // 01100
+            else {
+                bw.put(0x7, 4);                      // 0111
+                cur = (uint16_t)(cur & 0x7FF);
+                bw.put(cur, 11);
+            }
+        }
+        last = cur;
+    }
+    burn();
+    if (bw.overflow) return -1;
+    return (bw.bitpos + 7) >> 3;
+}
+
 }  // extern "C"

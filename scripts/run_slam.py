@@ -90,14 +90,19 @@ def frame_source(args, cfg):
     elif kind == "sens":
         # comma-separated files chain into one sequence (loadNextSensFile,
         # DepthSensing.cpp:959-979)
-        from voxelhashing_tpu.io.sensfile import SensChainReader, SensReader
+        from voxelhashing_tpu.io.sensfile import (PrefetchReader,
+                                                  SensChainReader, SensReader)
         paths = path.split(",")
         r = SensChainReader(paths) if len(paths) > 1 else SensReader(paths[0])
+        # read-ahead decode thread (RGBDFrameCacheRead analog): zlib/OCCI
+        # decompression overlaps the device step
+        r = PrefetchReader(r)
         hd = r.header
         src_cam, need_cal = _sens_source_cam(hd, cam)
         n = min(len(r), args.frames) if args.frames else len(r)
-        for i in range(n):
-            d, c, p = r.read_frame(i)
+        for i, (d, c, p) in enumerate(r.frames()):
+            if i >= n:
+                break
             if need_cal:
                 # calibration path: remap depth into color space and run
                 # the pipeline in the color camera (s_bUseCameraCalibration,

@@ -293,3 +293,62 @@ class TestColorCalibration:
                           0, 0, 640, 480, 640, 480, 1000.0, 1)
         cam, need = mod._sens_source_cam(diff, base)
         assert need and abs(cam.fx - 530.0) < 1e-5
+
+
+class TestNativeOcciAndPrefetch:
+    def test_native_python_occi_bit_identical(self):
+        """The C++ OCCI codec (native/voxelhash_host.cpp) and the pure-
+        Python fallback must produce bit-identical streams and decodes."""
+        import pytest
+        from voxelhashing_tpu import native
+        if not native.available():
+            pytest.skip("native toolchain unavailable")
+        rng = np.random.default_rng(3)
+        vals = np.concatenate([
+            np.full(300, 1234), np.arange(100, 400), np.arange(400, 100, -2),
+            rng.integers(0, 2048, 4000), np.zeros(50, np.int64),
+        ]).astype(np.uint16)
+        buf_n = native.occi_encode(vals)
+        out_n = native.occi_decode(buf_n, len(vals))
+        # force the python paths
+        orig = native.occi_encode, native.occi_decode
+        try:
+            native.occi_encode = lambda *a: None
+            native.occi_decode = lambda *a: None
+            buf_p = sensfile.occi_encode(vals)
+            out_p = sensfile.occi_decode(buf_p, len(vals))
+        finally:
+            native.occi_encode, native.occi_decode = orig
+        assert buf_n == buf_p
+        np.testing.assert_array_equal(out_n, out_p)
+        np.testing.assert_array_equal(out_n, vals)
+
+    def test_prefetch_reader_order_and_gt(self, tmp_path):
+        """PrefetchReader (RGBDFrameCacheRead analog): frames arrive in
+        order with identical contents; ground truth snapshot matches."""
+        depths, colors, poses = make_data()
+        path = os.path.join(tmp_path, "seq_pf.sens")
+        sensfile.write_sens(path, depths, colors, poses,
+                            np.eye(4, dtype=np.float32))
+        base = sensfile.SensReader(path)
+        ref = [base.read_frame(i) for i in range(len(base))]
+        pf = sensfile.PrefetchReader(sensfile.SensReader(path), depth=2)
+        got = list(pf.frames())
+        assert len(got) == len(ref)
+        for (d0, c0, p0), (d1, c1, p1) in zip(ref, got):
+            np.testing.assert_array_equal(
+                np.nan_to_num(d0, nan=-1.0), np.nan_to_num(d1, nan=-1.0))
+            np.testing.assert_array_equal(p0, p1)
+        np.testing.assert_allclose(pf.ground_truth()[1], poses[1], atol=1e-6)
+        pf.close()
+        base.close()
+
+    def test_prefetch_reader_early_close(self, tmp_path):
+        depths, colors, poses = make_data()
+        path = os.path.join(tmp_path, "seq_pf2.sens")
+        sensfile.write_sens(path, depths, colors, poses,
+                            np.eye(4, dtype=np.float32))
+        pf = sensfile.PrefetchReader(sensfile.SensReader(path), depth=1)
+        it = pf.frames()
+        next(it)
+        pf.close()   # must not hang with the worker blocked on a full queue

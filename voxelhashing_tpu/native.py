@@ -80,6 +80,14 @@ def load() -> Optional[ctypes.CDLL]:
         lib.mesh_weld_save_ply.argtypes = [
             ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int64, ctypes.c_float]
+        lib.occi_decode_u16.restype = ctypes.c_int32
+        lib.occi_decode_u16.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64]
+        lib.occi_encode_u16.restype = ctypes.c_int64
+        lib.occi_encode_u16.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64]
         _lib = lib
         return _lib
 
@@ -188,3 +196,33 @@ def weld_save_ply(path: str, triangles: np.ndarray,
     if n < 0:
         raise IOError(f"mesh_weld_save_ply failed: {path}")
     return int(n)
+
+
+def occi_decode(buf: bytes, num_elements: int) -> Optional[np.ndarray]:
+    """Native OCCI depth decode (the reference's default .sens codec);
+    None if the library is unavailable (io/sensfile.py falls back to its
+    bit-identical pure-Python path, ~500x slower)."""
+    lib = load()
+    if lib is None:
+        return None
+    out = np.empty(num_elements, np.uint16)
+    src = np.frombuffer(buf, np.uint8)
+    rc = lib.occi_decode_u16(_ptr(src), len(src), _ptr(out),
+                             int(num_elements))
+    if rc != 0:
+        raise ValueError("occi bitstream truncated")
+    return out
+
+
+def occi_encode(values: np.ndarray) -> Optional[bytes]:
+    """Native OCCI depth encode; None if the library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    v = np.ascontiguousarray(values, np.uint16).reshape(-1)
+    cap = 2 * v.size + 16
+    out = np.zeros(cap, np.uint8)
+    n = lib.occi_encode_u16(_ptr(v), v.size, _ptr(out), cap)
+    if n < 0:
+        raise ValueError("occi encode overflow")
+    return out[:n].tobytes()
