@@ -190,6 +190,13 @@ def main():
                     help="keyframe pose graph + loop closure + optimization")
     ap.add_argument("--record", default=None,
                     help="record the replayed sequence to a .sens file")
+    ap.add_argument("--reintegrate", action="store_true",
+                    help="with --posegraph: rebuild the map from the kept "
+                    "frames under the loop-closed trajectory "
+                    "(trajectory-consistent re-integration)")
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the frame loop "
+                    "(xprof/TensorBoard; the TimingLog's device-level twin)")
     ap.add_argument("--rgbd", action="store_true",
                     help="joint photometric+geometric tracking (the "
                     "reference's useRGBDTracking variant)")
@@ -237,12 +244,17 @@ def main():
     if args.posegraph:
         from voxelhashing_tpu.posegraph import PoseGraph
         pg = PoseGraph(cam)
-    rec_frames = [] if args.record else None
+    rec_frames = [] if (args.record or args.reintegrate) else None
     rtf = None
     if args.render_dir:
         from voxelhashing_tpu.render import RenderToFile
         rtf = RenderToFile(args.render_dir)
 
+    if args.trace:
+        # device-level tracing (SURVEY §5: jax.profiler/xprof is the TPU
+        # twin of the reference's CUDATimer event spans, CUDATimer.h:29-99);
+        # view with TensorBoard or xprof on the written directory
+        jax.profiler.start_trace(args.trace)
     t0 = time.time()
     for i, (d, c, gt_pose) in enumerate(frame_source(args, cfg)):
         if state is None:
@@ -304,6 +316,9 @@ def main():
         if args.timings:
             print(icp_log.report_last())
     dt = time.time() - t0
+    if args.trace:
+        jax.profiler.stop_trace()
+        print(f"profiler trace -> {args.trace}")
     n_frames = len(est)
     if mgr is not None and hasattr(mgr, "flush"):
         mgr.flush()
@@ -315,6 +330,25 @@ def main():
         n_loops = sum(1 for e in pg.edges if e.is_loop)
         print(f"pose graph: {len(pg.keyframes)} keyframes, "
               f"{len(pg.edges)} edges ({n_loops} loops), optimized")
+        if args.reintegrate and rec_frames is not None:
+            # trajectory-consistent re-integration (posegraph.reintegrate):
+            # rebuild the map from the kept frames under the corrected
+            # trajectory — the capability loop closure exists to enable
+            from voxelhashing_tpu.posegraph import reintegrate
+            ri_cfg = dataclasses.replace(cfg, use_trajectory=True)
+            ri_step = engine.make_step(ri_cfg, with_hint=True, donate=False)
+            ri_state = engine.create(ri_cfg, initial_pose=est[0])
+
+            def _ri_integrate(s, d, c, p):
+                s2, _ = ri_step(s, jnp.asarray(d), jnp.asarray(c),
+                                jnp.asarray(np.asarray(p, np.float32)))
+                return s2
+
+            ri_state = reintegrate(rec_frames, est, ri_cfg,
+                                   lambda: ri_state, _ri_integrate)
+            state = ri_state
+            print(f"re-integrated {len(rec_frames)} frames under the "
+                  f"corrected trajectory")
     if args.record:
         from voxelhashing_tpu.io.sensfile import write_sens
         intr = np.eye(4, dtype=np.float32)

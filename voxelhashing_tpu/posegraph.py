@@ -27,16 +27,26 @@ from . import geometry as geom, tracking
 
 
 def se3_exp(xi):
-    """se(3) 6-vector (rx,ry,rz,tx,ty,tz) -> 4x4 (first-order-accurate
-    Rodrigues rotation; exact for the small corrections GN produces)."""
+    """se(3) 6-vector (rx,ry,rz,tx,ty,tz) -> 4x4 Rodrigues rotation.
+
+    Taylor-safe coefficients: GN linearizes the residuals EXACTLY at
+    xi = 0, and ``jnp.linalg.norm``'s sqrt has a NaN jacobian there (the
+    original norm-based form silently NaN'd the rotation block of every
+    optimized pose while translations solved fine — caught by run_slam
+    --reintegrate). sin(t)/t and (1-cos t)/t^2 switch to their Taylor
+    expansions below t^2 = 1e-10; both where-branches stay finite for all
+    inputs so the gradients are clean."""
     w = xi[:3]
-    theta = jnp.linalg.norm(w) + 1e-12
-    k = w / theta
-    kx = jnp.array([[0.0, -k[2], k[1]],
-                    [k[2], 0.0, -k[0]],
-                    [-k[1], k[0], 0.0]])
-    r = jnp.eye(3) + jnp.sin(theta) * kx \
-        + (1.0 - jnp.cos(theta)) * (kx @ kx)
+    t2 = jnp.sum(w * w)
+    small = t2 < 1e-10
+    t2s = jnp.where(small, 1.0, t2)       # keeps the exact branch finite
+    th = jnp.sqrt(t2s)
+    a = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(th) / th)
+    b = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(th)) / t2s)
+    wx = jnp.array([[0.0, -w[2], w[1]],
+                    [w[2], 0.0, -w[0]],
+                    [-w[1], w[0], 0.0]])
+    r = jnp.eye(3) + a * wx + b * (wx @ wx)
     out = jnp.eye(4)
     out = out.at[:3, :3].set(r)
     out = out.at[:3, 3].set(xi[3:])
