@@ -245,6 +245,7 @@ def main():
         from voxelhashing_tpu.posegraph import PoseGraph
         pg = PoseGraph(cam)
     rec_frames = [] if (args.record or args.reintegrate) else None
+    lost_streak = 0
     rtf = None
     if args.render_dir:
         from voxelhashing_tpu.render import RenderToFile
@@ -291,7 +292,28 @@ def main():
             gts.append(np.asarray(gt_pose))
         if rec_frames is not None:
             rec_frames.append((d, c))
-        if pg is not None and pg.should_add_keyframe(i, est[-1]):
+        if pg is not None and not bool(diag.tracking_valid):
+            lost_streak += 1
+            if lost_streak >= 2:
+                # relocalize against stored keyframes (beyond-reference
+                # recovery; the reference waits for ICP to re-latch from
+                # the stale pose, DepthSensing.cpp:874-879)
+                from voxelhashing_tpu.ops.image import preprocess as _pp
+                fr = _pp(jnp.asarray(np.nan_to_num(d, nan=0.0)), None, cam,
+                         cfg.filter)
+                rp, ok = pg.relocalize(fr.points, fr.normals,
+                                       last_pose=np.asarray(state.pose))
+                if ok:
+                    state = state._replace(
+                        pose=jnp.asarray(np.asarray(rp, np.float32)),
+                        tracking_lost=jnp.asarray(False))
+                    est[-1] = np.asarray(rp)
+                    lost_streak = 0
+                    print(f"  relocalized at frame {i}")
+        else:
+            lost_streak = 0
+        if pg is not None and bool(diag.tracking_valid) \
+                and pg.should_add_keyframe(i, est[-1]):
             from voxelhashing_tpu.ops.image import preprocess as _pp
             fr = _pp(jnp.asarray(np.nan_to_num(d, nan=0.0)), None, cam,
                      cfg.filter)

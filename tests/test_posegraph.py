@@ -132,3 +132,48 @@ class TestLoopClosure:
         # the loop edge should measure the TRUE relative pose (~0.04 x)
         z = loops[0].z_ij
         np.testing.assert_allclose(z[0, 3], 0.04, atol=0.012)
+
+
+class TestRelocalize:
+    def _kf_frame(self, pose):
+        d, _ = render_depth(pose.astype(np.float32), CAM, SCENE)
+        f = preprocess(jnp.asarray(np.nan_to_num(d, nan=0.0)), None,
+                       CAM, FLT)
+        return f.points, f.normals
+
+    def test_relocalize_after_blind_motion(self):
+        """Camera moves while tracking is lost; relocalization against the
+        keyframe graph must recover the true pose even though the stale
+        last_pose is far off (the reference has no recovery path —
+        DepthSensing.cpp:874-879 just skips frames)."""
+        pg = posegraph.PoseGraph(CAM, posegraph.PoseGraphConfig(
+            loop_min_separation=100,     # no loop edges for this test
+            loop_residual_max=1e-3))
+        kf_poses = [np.eye(4), rot("y", 0.2), rot("y", 0.4)]
+        for k, p in enumerate(kf_poses):
+            pts, nrm = self._kf_frame(p)
+            pg.add_keyframe(k * 5, p, pts, nrm)
+
+        # true current pose: near keyframe 1 with a small offset
+        true = rot("y", 0.22)
+        true[0, 3] += 0.03
+        pts, nrm = self._kf_frame(true)
+        # stale pose from before the blind motion: near keyframe 0
+        stale = np.eye(4)
+        rp, ok = pg.relocalize(pts, nrm, last_pose=stale)
+        assert ok
+        d = np.linalg.inv(rp) @ true
+        ang = np.arccos(np.clip((np.trace(d[:3, :3]) - 1) / 2, -1, 1))
+        assert np.linalg.norm(d[:3, 3]) < 0.01, d[:3, 3]
+        assert ang < 0.01, ang
+
+    def test_relocalize_rejects_unseen_view(self):
+        pg = posegraph.PoseGraph(CAM, posegraph.PoseGraphConfig(
+            loop_residual_max=1e-5))
+        pts, nrm = self._kf_frame(np.eye(4))
+        pg.add_keyframe(0, np.eye(4), pts, nrm)
+        # frame looking the opposite way: nothing to register against
+        away = rot("y", 3.0)
+        pts2, nrm2 = self._kf_frame(away)
+        _, ok = pg.relocalize(pts2, nrm2, last_pose=np.eye(4))
+        assert not ok

@@ -194,6 +194,52 @@ class PoseGraph:
             float(res.residual) < self.cfg.loop_residual_max
         return delta, ok
 
+    # -- relocalization -----------------------------------------------------
+
+    def relocalize(self, points, normals, last_pose=None,
+                   max_candidates: int = 8) -> Tuple[np.ndarray, bool]:
+        """Recover the camera pose after tracking loss by ICP-registering
+        the current frame against stored keyframes.
+
+        The reference has no recovery path — it skips integration and
+        waits for ICP to re-latch from the stale pose
+        (DepthSensing.cpp:874-879), which fails if the camera moved while
+        blind. Here (the InfiniTAM-v3-style capability the SLAM layer
+        enables): try the keyframes nearest the last known pose first,
+        accept the best verified registration. Returns
+        (camera_to_world, ok).
+        """
+        if not self.keyframes:
+            return (np.eye(4) if last_pose is None
+                    else np.asarray(last_pose)), False
+        cands = list(range(len(self.keyframes)))
+        if last_pose is not None:
+            lp = np.asarray(last_pose, np.float64)
+            cands.sort(key=lambda k: float(np.linalg.norm(
+                self.keyframes[k].pose[:3, 3] - lp[:3, 3])))
+        cands = cands[:max_candidates]
+        frame = Keyframe(index=-1, pose=np.eye(4),
+                         points=np.asarray(points),
+                         normals=np.asarray(normals))
+        best = None
+        for k in cands:
+            kf = self.keyframes[k]
+            init = None
+            if last_pose is not None:
+                # predicted frame->keyframe delta from the stale pose
+                init = np.linalg.inv(kf.pose) @ np.asarray(last_pose,
+                                                           np.float64)
+            z, ok = self.register(frame, kf, init=init)
+            if not ok:
+                # retry cold (identity init) — the stale pose may be the
+                # problem when the camera moved far while blind
+                z, ok = self.register(frame, kf, init=None)
+            if ok:
+                pose = kf.pose @ z          # T_w_kf @ T_kf_frame
+                return pose, True
+        return (np.eye(4) if last_pose is None
+                else np.asarray(last_pose)), False
+
     # -- optimization ------------------------------------------------------
 
     def optimize(self) -> np.ndarray:
