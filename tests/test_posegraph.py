@@ -177,3 +177,25 @@ class TestRelocalize:
         pts2, nrm2 = self._kf_frame(away)
         _, ok = pg.relocalize(pts2, nrm2, last_pose=np.eye(4))
         assert not ok
+
+
+class TestDistributedOptimize:
+    def test_edge_sharded_gn_matches_single_device(self):
+        """optimize_distributed: edge-sharded psum'd normal equations on
+        the 8-virtual-device mesh must remove the drift exactly like the
+        single-device solver."""
+        import jax
+        if len(jax.devices()) < 2:
+            import pytest
+            pytest.skip("needs a multi-device mesh")
+        mk = TestOptimize()._chain_with_loop
+        pg1, gt, _ = mk()
+        ref = pg1.optimize()
+        pg2, _, _ = mk()
+        out = pg2.optimize_distributed()
+        assert np.isfinite(out).all()
+        err_gt = max(np.linalg.norm(out[k] - gt[k]) for k in range(len(gt)))
+        err_ref = max(np.linalg.norm(out[k] - ref[k])
+                      for k in range(len(gt)))
+        assert err_gt < 0.01, err_gt
+        assert err_ref < 1e-4, err_ref

@@ -295,6 +295,91 @@ class PoseGraph:
             kf.pose = out[m]
         return out
 
+    def optimize_distributed(self, mesh=None) -> np.ndarray:
+        """Edge-sharded Gauss-Newton over a device mesh (SURVEY §7 phase
+        5's distributed pose optimization: each device linearises its
+        edge shard, the [6K,6K] normal equations are ``psum``-reduced
+        over ICI, and the solve runs replicated).
+
+        Note the reference/VoxelHashing problem has no landmark blocks —
+        the graph is pose-pose only — so there is no Schur complement to
+        form; the psum'd dense-H reduction IS the whole system. Matches
+        :meth:`optimize` numerically (same residuals/iterations).
+        """
+        import jax
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        k = len(self.keyframes)
+        if k < 2 or not self.edges:
+            return np.stack([kf.pose for kf in self.keyframes]) \
+                if self.keyframes else np.zeros((0, 4, 4))
+        if mesh is None:
+            mesh = Mesh(np.array(jax.devices()), ("e",))
+        n_dev = mesh.devices.size
+
+        ne = len(self.edges)
+        pad = -(-ne // n_dev) * n_dev
+        ei = np.zeros((pad,), np.int32)
+        ej = np.zeros((pad,), np.int32)
+        zs = np.tile(np.eye(4, dtype=np.float32), (pad, 1, 1))
+        ws = np.zeros((pad,), np.float32)
+        for m, e in enumerate(self.edges):
+            ei[m], ej[m], ws[m] = e.i, e.j, e.weight
+            zs[m] = e.z_ij
+        ei, ej = jnp.asarray(ei), jnp.asarray(ej)
+        zs, ws = jnp.asarray(zs), jnp.asarray(ws)
+        poses0 = jnp.asarray(
+            np.stack([kf.pose for kf in self.keyframes]), jnp.float32)
+
+        def edge_residual(xi_flat, poses, i, j, z, w):
+            xi = xi_flat.reshape(k, 6)
+            xi = xi.at[0].set(0.0)            # gauge fix
+            ti = poses[i] @ se3_exp(xi[i])
+            tj = poses[j] @ se3_exp(xi[j])
+            err = jnp.linalg.solve(z, jnp.linalg.solve(ti, tj))
+            return jnp.sqrt(w) * se3_log_residual(err)
+
+        e_jac = jax.jacfwd(edge_residual)
+
+        def shard_system(poses, ei_s, ej_s, zs_s, ws_s):
+            """One device's Σ JᵀJ / Jᵀr over its edge shard, psum'd."""
+            xi0 = jnp.zeros((k * 6,))
+
+            def one(i, j, z, w):
+                r = edge_residual(xi0, poses, i, j, z, w)
+                jm = e_jac(xi0, poses, i, j, z, w)   # [6, k*6]
+                return jm.T @ jm, -jm.T @ r, jnp.sum(r * r)
+
+            hs, bs, ls = jax.vmap(one)(ei_s, ej_s, zs_s, ws_s)
+            h = jax.lax.psum(jnp.sum(hs, 0), "e")
+            b = jax.lax.psum(jnp.sum(bs, 0), "e")
+            loss = jax.lax.psum(jnp.sum(ls), "e")
+            return h, b, loss
+
+        smapped = shard_map(
+            shard_system, mesh=mesh,
+            in_specs=(P(), P("e"), P("e"), P("e"), P("e")),
+            out_specs=(P(), P(), P()))
+
+        @jax.jit
+        def gn_step(poses):
+            h, b, loss = smapped(poses, ei, ej, zs, ws)
+            a = h + 1e-6 * jnp.eye(k * 6)
+            dx = jnp.linalg.solve(a, b).reshape(k, 6)
+            dx = dx.at[0].set(0.0)
+            new_poses = jnp.stack(
+                [poses[m] @ se3_exp(dx[m]) for m in range(k)])
+            return new_poses, loss
+
+        poses = poses0
+        for _ in range(self.cfg.gn_iters):
+            poses, loss = gn_step(poses)
+        out = np.asarray(poses, np.float64)
+        for m, kf in enumerate(self.keyframes):
+            kf.pose = out[m]
+        return out
+
     def corrected_trajectory(self, frame_poses: List[np.ndarray]
                              ) -> List[np.ndarray]:
         """Propagate optimized keyframe corrections to all frames: each
