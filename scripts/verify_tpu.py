@@ -119,6 +119,29 @@ def main():
           f"{sdf_max:.2e} m, color max err {c_err}/255")
     failures += not ok1
 
+    # ---- 1b. dense slice path vs sparse gather path (bit-exact) -------
+    # The engine's hot path reads pool rows [0, watermark) as a slice
+    # (blockmap.dense_upto); over the SAME row set the two kernels must
+    # agree exactly — same fusion math, only the row transport differs.
+    from voxelhashing_tpu.ops.pallas_integrate import integrate_pallas_dense
+    all_idx, n_all = blockmap.compactify_all(state, mp)
+    all_idx = all_idx[:mp.max_active_blocks]
+    sp = jax.jit(lambda s, d, c, p, ai, na: integrate_pallas(
+        s, d, c, p, cam, mp, ai, na))(
+        state, depth, color, pose, all_idx, n_all)
+    dn = jax.jit(lambda s, d, c, p, nd: integrate_pallas_dense(
+        s, d, c, p, cam, mp, nd, mp.max_active_blocks))(
+        state, depth, color, pose, state.dense_upto)
+    same = (np.array_equal(np.asarray(sp.sdf, np.float32),
+                           np.asarray(dn.sdf, np.float32))
+            and np.array_equal(np.asarray(sp.weight, np.float32),
+                               np.asarray(dn.weight, np.float32))
+            and np.array_equal(np.asarray(sp.color), np.asarray(dn.color))
+            and np.array_equal(np.asarray(sp.surf), np.asarray(dn.surf)))
+    print(f"[{'PASS' if same else 'FAIL'}] integrate dense-vs-sparse: "
+          f"bit-exact={same} (watermark {int(state.dense_upto)})")
+    failures += not same
+
     # ---- 2. splat z-buffer: Pallas (with_color=False path) vs XLA
     # scatter-min (the with_color=True path; raycast.py:287) -------------
     rc = cfg.raycast

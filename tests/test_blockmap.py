@@ -306,6 +306,7 @@ class TestFreeStack:
                 [jnp.arange(3, nb, dtype=jnp.int32),
                  jnp.zeros((3,), jnp.int32)]),
             n_free=jnp.int32(nb - 3),
+            dense_upto=jnp.int32(3),
         )
         state = blockmap.rehash(state, cfg)
         assert int(state.n_free) == nb - 1
@@ -322,3 +323,73 @@ class TestFreeStack:
         assert int(state.n_free) + int(
             (np.asarray(state.block_key) != int(INVALID_KEY)).sum()) \
             == SMALL.num_blocks
+
+
+class TestDensePool:
+    def test_allocation_keeps_dense_prefix(self):
+        rng = np.random.default_rng(21)
+        state = blockmap.create(SMALL)
+        assert int(state.dense_upto) == 0
+        keys, _ = random_keys(rng, 60)
+        state, n = blockmap.allocate(state, jnp.asarray(keys), SMALL)
+        assert int(state.dense_upto) == int(n)
+        assert_healthy(state, SMALL)   # incl. invariant 8 (dense prefix)
+        # second batch keeps extending contiguously
+        keys2, _ = random_keys(rng, 40, lo=200, hi=300)
+        state, n2 = blockmap.allocate(state, jnp.asarray(keys2), SMALL)
+        assert int(state.dense_upto) == int(n) + int(n2)
+        assert_healthy(state, SMALL)
+
+    def test_holes_reused_before_watermark_moves(self):
+        rng = np.random.default_rng(23)
+        state = blockmap.create(SMALL)
+        keys, _ = random_keys(rng, 50)
+        state, n = blockmap.allocate(state, jnp.asarray(keys), SMALL)
+        wm0 = int(state.dense_upto)
+        idx = jnp.asarray([3, 11, 19], jnp.int32)
+        state = blockmap.delete_blocks(state, idx, jnp.ones(3, bool), SMALL)
+        keys2, _ = random_keys(rng, 3, lo=300, hi=340)
+        keys2 = np.unique(keys2)
+        state, n2 = blockmap.allocate(state, jnp.asarray(keys2), SMALL)
+        # the freed holes serve the new allocations; watermark unmoved
+        assert int(state.dense_upto) == wm0
+        pool_idx, found = blockmap.lookup(state, jnp.asarray(keys2), SMALL)
+        assert bool(jnp.all(found))
+        assert set(np.asarray(pool_idx)[:int(n2)].tolist()) <= {3, 11, 19}
+        assert_healthy(state, SMALL)
+
+    def test_delete_breaks_density_compact_restores(self):
+        rng = np.random.default_rng(22)
+        state = blockmap.create(SMALL)
+        keys, _ = random_keys(rng, 80)
+        state, n = blockmap.allocate(state, jnp.asarray(keys), SMALL)
+        # give allocated rows distinguishable payloads (|sdf| > voxel_size
+        # so no surface flags are implied)
+        state = state._replace(
+            weight=state.weight.at[:int(n)].set(
+                jnp.asarray(2.0, state.weight.dtype)),
+            sdf=state.sdf.at[:int(n)].set(
+                jnp.asarray(0.5, state.sdf.dtype)))
+        idx = jnp.arange(SMALL.num_blocks, dtype=jnp.int32)
+        mask = (idx < n) & (idx % 3 == 1)
+        n_del = int(mask.sum())
+        state = blockmap.delete_blocks(state, idx, mask, SMALL)
+        # deletes punch holes BELOW the watermark; it doesn't move
+        assert int(state.dense_upto) == int(n)
+        assert_healthy(state, SMALL)
+
+        state = blockmap.compact_pool(state, SMALL)
+        n_now = int(n) - n_del
+        assert int(state.dense_upto) == n_now
+        assert_healthy(state, SMALL)
+        # every surviving key still resolves to a row holding its payload
+        kept = np.asarray(state.block_key)[:n_now]
+        pool_idx, found = blockmap.lookup(state, jnp.asarray(kept), SMALL)
+        assert bool(jnp.all(found))
+        w = np.asarray(state.weight, np.float32)
+        assert np.all(w[np.asarray(pool_idx), 0] == 2.0)
+        # and new allocations extend the restored prefix
+        keys3, _ = random_keys(rng, 10, lo=400, hi=450)
+        state, n3 = blockmap.allocate(state, jnp.asarray(keys3), SMALL)
+        assert int(state.dense_upto) == n_now + int(n3)
+        assert_healthy(state, SMALL)

@@ -73,3 +73,54 @@ class TestPallasIntegrateInterpret:
         upd = w1 > 0
         assert (w2[upd] >= w1[upd]).all()
         assert (w2[upd] > w1[upd]).any()
+
+
+class TestDenseSlicePath:
+    def test_dense_matches_sparse(self):
+        """integrate_pallas_dense (slice path over the dense pool prefix)
+        must produce the same map as the gather path: identical fused
+        rows, surf flags, and gc stats over the allocated prefix."""
+        from voxelhashing_tpu.ops.pallas_integrate import (
+            integrate_pallas_dense)
+        state, depth, color, pose, active_idx, n_active = setup_state()
+        assert int(state.dense_upto) > 0     # fresh map: prefix is dense
+        n_dense = int(state.dense_upto)
+        cap = CFG.max_active_blocks
+        assert cap % 16 == 0 and n_dense <= cap
+
+        # compare over ALL allocated blocks: the dense path integrates the
+        # whole prefix (no frustum pre-cull — off-view blocks self-mask in
+        # the kernel), so the sparse side must cover the same row set for
+        # exact equality (the 0.95-shrink frustum cull would otherwise
+        # exclude edge blocks whose voxels still project on-screen)
+        active_idx, n_active = blockmap.compactify_all(state, CFG)
+        active_idx = active_idx[:CFG.max_active_blocks]
+        ref, ref_stats = integrate_pallas(
+            state, depth, color, pose, CAM, CFG, active_idx, n_active,
+            interpret=True, return_gc_stats=True)
+        out, out_stats = integrate_pallas_dense(
+            state, depth, color, pose, CAM, CFG,
+            jnp.int32(n_dense), cap, interpret=True, return_gc_stats=True)
+
+        # the sparse path touched exactly the active rows; dense touched
+        # the prefix (a superset ordering) — maps must agree everywhere
+        np.testing.assert_array_equal(
+            np.asarray(out.sdf, np.float32), np.asarray(ref.sdf, np.float32))
+        np.testing.assert_array_equal(
+            np.asarray(out.weight, np.float32),
+            np.asarray(ref.weight, np.float32))
+        np.testing.assert_array_equal(np.asarray(out.color),
+                                      np.asarray(ref.color))
+        np.testing.assert_array_equal(np.asarray(out.surf),
+                                      np.asarray(ref.surf))
+        # gc stats: dense stats[i] belongs to pool row i; sparse stats[i]
+        # to active_idx[i] — compare through the permutation
+        ai = np.asarray(active_idx)[:int(n_active)]
+        np.testing.assert_allclose(
+            np.asarray(out_stats[0])[ai],
+            np.asarray(ref_stats[0])[:int(n_active)], rtol=0, atol=0)
+        np.testing.assert_allclose(
+            np.asarray(out_stats[1])[ai],
+            np.asarray(ref_stats[1])[:int(n_active)], rtol=0, atol=0)
+        # tail rows (free) report empty stats: never culled wrongly
+        assert np.all(np.asarray(out_stats[1])[n_dense:] == 0.0)

@@ -78,6 +78,18 @@ class MapState(NamedTuple):
     free_stack: jax.Array    # int32[N]
     n_free: jax.Array        # int32[]
     n_tombstones: jax.Array  # int32[]  tombstone count (rehash trigger)
+    # i32[]: pool row HIGH WATERMARK — every allocated row index is
+    # < dense_upto. The free stack is initialised reversed so fresh pops
+    # hand out the lowest slots (and deletes push holes that get reused
+    # LIFO before the watermark moves), keeping the watermark ~= the
+    # allocated count. While the watermark fits the active cap, the
+    # integrate path reads pool rows [0, watermark) as a static slice and
+    # writes them back with one update instead of paying row
+    # gather/scatter passes (~30% of HBM peak on this chip); holes inside
+    # the slice carry INVALID keys and self-mask in the kernel.
+    # compact_pool() resets the watermark to the allocated count when
+    # fragmentation drives it up.
+    dense_upto: jax.Array
 
 
 def pack_rgb(rgb):
@@ -108,9 +120,12 @@ def create(cfg: MapConfig) -> MapState:
         weight=jnp.zeros((n, VOXELS_PER_BLOCK), POOL_DTYPE),
         color=jnp.zeros((n, VOXELS_PER_BLOCK), jnp.uint32),
         surf=jnp.zeros((n,), bool),
-        free_stack=jnp.arange(n, dtype=jnp.int32),
+        # reversed so pops (from the top, free_stack[n_free-1]) hand out
+        # slots 0, 1, 2, ... — keeping the allocated set a dense prefix
+        free_stack=jnp.arange(n - 1, -1, -1, dtype=jnp.int32),
         n_free=jnp.int32(n),
         n_tombstones=jnp.int32(0),
+        dense_upto=jnp.int32(0),
     )
 
 
@@ -327,6 +342,7 @@ def _allocate_unique(state: MapState, keys, cfg: MapConfig
     block_key = state.block_key
     pending = keys != INVALID_KEY
     alloc_base = jnp.int32(0)
+    max_pslot = jnp.int32(-1)
     claim_init = jnp.full((h,), jnp.int32(0x7FFFFFFF))
 
     # Insert probes a SHORTER budget than lookup: at <= 50% pool/table load
@@ -354,12 +370,19 @@ def _allocate_unique(state: MapState, keys, cfg: MapConfig
         block_key = block_key.at[jnp.where(can, pslot, n_pool)].set(
             keys, mode="drop")
         alloc_base = alloc_base + jnp.sum(can.astype(jnp.int32))
+        max_pslot = jnp.maximum(max_pslot,
+                                jnp.max(jnp.where(can, pslot, -1)))
         # winners are done; pool-exhausted winners give up (slot unwritten)
         pending &= ~win
 
+    # advance the row watermark past the highest slot handed out this
+    # call (pops reuse freed holes first — LIFO — so it only moves when
+    # fresh prefix slots are consumed)
     return state._replace(table_key=table_key, table_val=table_val,
                           block_key=block_key,
-                          n_free=n_free - alloc_base), alloc_base
+                          n_free=n_free - alloc_base,
+                          dense_upto=jnp.maximum(state.dense_upto,
+                                                 max_pslot + 1)), alloc_base
 
 
 def _table_insert(table_key, table_val, keys, vals, pending, cfg: MapConfig):
@@ -548,6 +571,9 @@ def delete_blocks(state: MapState, pool_indices, delete_mask,
                           free_stack=free_stack,
                           n_free=state.n_free + n_deleted,
                           n_tombstones=state.n_tombstones + n_deleted)
+    # (row watermark unchanged: deletes create holes BELOW it, which the
+    # integrate slice path masks via their INVALID keys and the LIFO
+    # stack reuses before the watermark moves)
 
 
 def rehash(state: MapState, cfg: MapConfig) -> MapState:
@@ -584,12 +610,12 @@ def rehash(state: MapState, cfg: MapConfig) -> MapState:
     lrank = jnp.cumsum(lost.astype(jnp.int32)) - 1
     free_stack = state.free_stack.at[
         jnp.where(lost, state.n_free + lrank, n)].set(vals, mode="drop")
+    n_lost = jnp.sum(lost.astype(jnp.int32))
     return state._replace(table_key=table_key, table_val=table_val,
                           block_key=block_key,
                           sdf=sdf, weight=weight, color=color, surf=surf,
                           free_stack=free_stack,
-                          n_free=state.n_free
-                          + jnp.sum(lost.astype(jnp.int32)),
+                          n_free=state.n_free + n_lost,
                           n_tombstones=jnp.int32(0))
 
 
@@ -600,6 +626,79 @@ def maybe_rehash(state: MapState, cfg: MapConfig) -> MapState:
         lambda s: rehash(s, cfg),
         lambda s: s,
         state)
+
+
+def compact_pool(state: MapState, cfg: MapConfig) -> MapState:
+    """Permute the allocated rows to the pool prefix [0, n), rebuild the
+    table, and reset the free stack — restoring ``dense_upto`` so the
+    integrate path can stream its rows as a slice again.
+
+    The reference never compacts its heap (allocBlock takes whatever slot
+    ``consumeHeap`` returns, VoxelUtilHashSDF.h:518-529); here density is
+    a measured TPU win (row gathers run at ~30% of HBM peak, a contiguous
+    stream at full rate). Cost: one full-pool permutation — run it on the
+    rehash cadence, not per frame (:func:`maybe_maintain`).
+    """
+    n_pool = cfg.num_blocks
+    allocated = state.block_key != INVALID_KEY
+    rank = jnp.cumsum(allocated.astype(jnp.int32)) - 1
+    n = jnp.sum(allocated.astype(jnp.int32))
+    # src[d] = old row index now living at dense position d (d < n)
+    src = jnp.zeros((n_pool,), jnp.int32).at[
+        jnp.where(allocated, rank, n_pool)].set(
+        jnp.arange(n_pool, dtype=jnp.int32), mode="drop")
+    live = jnp.arange(n_pool, dtype=jnp.int32) < n
+    keys = jnp.where(live, state.block_key[src], INVALID_KEY)
+    zero_v = jnp.zeros((1, VOXELS_PER_BLOCK), state.sdf.dtype)
+    sdf = jnp.where(live[:, None], state.sdf[src], zero_v)
+    weight = jnp.where(live[:, None], state.weight[src], zero_v)
+    color = jnp.where(live[:, None], state.color[src],
+                      jnp.zeros((1, VOXELS_PER_BLOCK), jnp.uint32))
+    surf = jnp.where(live, state.surf[src], False)
+
+    table_key = jnp.full((cfg.table_size,), INVALID_KEY, jnp.int32)
+    table_val = jnp.zeros((cfg.table_size,), jnp.int32)
+    vals = jnp.arange(n_pool, dtype=jnp.int32)
+    table_key, table_val, inserted = _table_insert(
+        table_key, table_val, keys, vals, keys != INVALID_KEY, cfg)
+    # re-insertion losses (rare probe exhaustion): drop + zero, exactly as
+    # rehash does; a mid-prefix loss breaks density again
+    lost = (keys != INVALID_KEY) & ~inserted
+    n_lost = jnp.sum(lost.astype(jnp.int32))
+    safe_idx = jnp.where(lost, vals, n_pool)
+    keys = keys.at[safe_idx].set(INVALID_KEY, mode="drop")
+    zv = jnp.zeros((VOXELS_PER_BLOCK,), state.sdf.dtype)
+    sdf = sdf.at[safe_idx].set(zv, mode="drop")
+    weight = weight.at[safe_idx].set(zv, mode="drop")
+    color = color.at[safe_idx].set(
+        jnp.zeros((VOXELS_PER_BLOCK,), jnp.uint32), mode="drop")
+    surf = surf.at[safe_idx].set(False, mode="drop")
+    # reversed stack: pops hand out n, n+1, ...; lost slots pushed on top
+    free_stack = jnp.arange(n_pool - 1, -1, -1, dtype=jnp.int32)
+    lrank = jnp.cumsum(lost.astype(jnp.int32)) - 1
+    n_free0 = n_pool - n
+    free_stack = free_stack.at[
+        jnp.where(lost, n_free0 + lrank, n_pool)].set(vals, mode="drop")
+    return state._replace(table_key=table_key, table_val=table_val,
+                          block_key=keys, sdf=sdf, weight=weight,
+                          color=color, surf=surf,
+                          free_stack=free_stack,
+                          n_free=n_free0 + n_lost,
+                          n_tombstones=jnp.int32(0),
+                          dense_upto=n)   # lost slots are holes below n
+
+
+def maybe_maintain(state: MapState, cfg: MapConfig, frame_idx) -> MapState:
+    """Periodic map maintenance (jit-safe): compact+rebuild when
+    tombstones pile up (the rehash trigger) OR hole fragmentation has
+    pushed the row watermark well past the allocated count (the
+    integrate slice path's span tracks the watermark)."""
+    n_alloc = jnp.int32(cfg.num_blocks) - state.n_free
+    need = (state.n_tombstones > cfg.table_size // 8) | (
+        (state.dense_upto - n_alloc > cfg.num_blocks // 16)
+        & (jnp.mod(frame_idx, cfg.maintain_interval) == 0))
+    return jax.lax.cond(need, lambda s: compact_pool(s, cfg),
+                        lambda s: s, state)
 
 
 # ---------------------------------------------------------------------------
@@ -674,6 +773,11 @@ def check_invariants(state: MapState, cfg: MapConfig) -> dict:
                        and np.array_equal(np.sort(stack), free_set))
                  else 1 + abs(n_free - len(free_set)))
 
+    # 8. Row-watermark claim: every allocated row index is < dense_upto
+    #    (the integrate slice path reads only [0, dense_upto)).
+    du = int(state.dense_upto)
+    dense_bad = int(np.any(block_key[du:] != inv_key))
+
     return {
         "duplicate_table_vals": dup_vals,
         "duplicate_table_keys": dup_keys,
@@ -683,4 +787,5 @@ def check_invariants(state: MapState, cfg: MapConfig) -> dict:
         "surf_flag_on_free": surf_on_free,
         "surf_flag_missing": surf_missing,
         "free_stack_mismatch": stack_bad,
+        "dense_prefix_mismatch": dense_bad,
     }

@@ -140,6 +140,10 @@ class MapConfig:
     # Garbage collection (CUDASceneRepHashSDF.h:327-333): identify+free runs
     # every frame; starvation every `gc_starve_interval` frames.
     gc_starve_interval: int = 15  # s_garbageCollectionStarve
+    # Pool compaction cadence when deletes broke the dense prefix
+    # (blockmap.maybe_maintain): restores slice-path integrate without
+    # thrashing on churny scenes.
+    maintain_interval: int = 32
     gc_enabled: bool = True
     # Bilinear (validity-weighted) color sampling during integration — the
     # reference ships this helper but calls it commented-out

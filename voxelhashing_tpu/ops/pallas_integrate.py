@@ -86,7 +86,8 @@ def split_bf16_limbs(x):
 # ---------------------------------------------------------------------------
 
 
-def _make_kernel(cam: CameraConfig, cfg: MapConfig, wcols: int):
+def _make_kernel(cam: CameraConfig, cfg: MapConfig, wcols: int,
+                 copy_tail: bool = False):
     h, w = cam.height, cam.width
     fx, fy, cx, cy = cam.fx, cam.fy, cam.cx, cam.cy
     dmin, dmax = cam.depth_min, cam.depth_max
@@ -101,8 +102,10 @@ def _make_kernel(cam: CameraConfig, cfg: MapConfig, wcols: int):
                oc_ref, nsdf_ref, nw_ref, nc_ref, nstat_ref,
                dsc, rsc, gsc, bsc):
         # Compacted active lists are packed: every block of this batch is
-        # past n_active -> skip the whole body (out rows are garbage but
-        # the fusion scatter drops rows >= n_active via safe_idx).
+        # past n_active -> skip the whole body. Sparse mode: out rows are
+        # garbage, the fusion scatter drops rows >= n_active via safe_idx.
+        # Dense (slice-path) mode: out rows ARE written back wholesale, so
+        # tail steps must pass the old rows through (copy_tail).
         i = pl.program_id(0)
 
         @pl.when(i * _BATCH_A < nact_ref[0])
@@ -110,6 +113,25 @@ def _make_kernel(cam: CameraConfig, cfg: MapConfig, wcols: int):
             _kernel_body(img_ref, pb_ref, win_ref, a_ref, osdf_ref, ow_ref,
                          oc_ref, nsdf_ref, nw_ref, nc_ref, nstat_ref,
                          dsc, rsc, gsc, bsc)
+
+        if copy_tail:
+            @pl.when(i * _BATCH_A >= nact_ref[0])
+            def _tail():
+                osdf = osdf_ref[:, :]
+                ow = ow_ref[:, :]
+                nsdf_ref[:, :] = osdf
+                nw_ref[:, :] = ow
+                nc_ref[:, :] = oc_ref[:, :]
+                of = osdf.astype(jnp.float32)
+                wf = ow.astype(jnp.float32)
+                abs_s = jnp.abs(of)
+                sflag = jnp.any((wf > 0.0) & (abs_s < vsz), axis=1,
+                                keepdims=True).astype(jnp.float32)
+                min_s = jnp.min(jnp.where(wf > 0.0, abs_s, jnp.inf),
+                                axis=1, keepdims=True)
+                max_w = jnp.max(wf, axis=1, keepdims=True)
+                nstat_ref[:, :] = jnp.concatenate(
+                    [sflag, min_s, max_w, jnp.zeros_like(sflag)], axis=1)
 
     def _kernel_body(img_ref, pb_ref, win_ref, a_ref, osdf_ref, ow_ref,
                      oc_ref, nsdf_ref, nw_ref, nc_ref, nstat_ref,
@@ -250,7 +272,7 @@ def _make_kernel(cam: CameraConfig, cfg: MapConfig, wcols: int):
 
 
 def _run_fused(img, pb, win, aff, old_sdf, old_w, old_c, g, cam, cfg,
-               interpret, n_active=None):
+               interpret, n_active=None, copy_tail: bool = False):
     """Run the fused sample+combine kernel over ``g`` blocks.
 
     ``img``: [h, wcols] bf16 interleaved frame; ``pb``: [g,8] f32 per-block
@@ -269,7 +291,7 @@ def _run_fused(img, pb, win, aff, old_sdf, old_w, old_c, g, cam, cfg,
         old_sdf = jnp.pad(old_sdf, ((0, gp - g), (0, 0)))
         old_w = jnp.pad(old_w, ((0, gp - g), (0, 0)))
         old_c = jnp.pad(old_c, ((0, gp - g), (0, 0)))
-    kernel = _make_kernel(cam, cfg, img.shape[1])
+    kernel = _make_kernel(cam, cfg, img.shape[1], copy_tail=copy_tail)
     if n_active is None:
         n_active = jnp.int32(g)
     nact = jnp.asarray(n_active, jnp.int32).reshape(1)
@@ -341,26 +363,14 @@ def _prep_image(depth, color, cam: CameraConfig):
     return jnp.pad(img, ((0, 0), (0, total - w * _NCH)))
 
 
-def integrate_pallas(state: MapState, depth, color, pose,
-                     cam: CameraConfig, cfg: MapConfig,
-                     active_idx, n_active, interpret: bool = False,
-                     return_gc_stats: bool = False):
-    """Drop-in replacement for :func:`voxelhashing_tpu.integrate.integrate`
-    (Pallas TPU path). ``active_idx`` is the compacted in-frustum block
-    list (padded), ``n_active`` its true length.
-
-    ``return_gc_stats``: also return (min_abs_sdf [G], max_weight [G]) of
-    the freshly fused rows — the garbageCollectIdentify inputs, computed
-    while rows are in kernel registers so GC skips its row re-read."""
-    g = active_idx.shape[0]
-    n = cfg.num_blocks
+def _pb_win_aff(block_keys, is_real, pose, cam: CameraConfig,
+                cfg: MapConfig, wcols: int):
+    """Per-block camera-space base points [G,8], patch-window origins
+    [G,8] and the per-frame affine table [3,512] (shared prep of the
+    sparse and dense integrate paths)."""
     vs = cfg.voxel_size
     view = geom.invert_rigid(pose)
-    img = _prep_image(depth, color, cam)
-
-    # ---- per-block base point + per-frame affine table ------------------
-    blocks = geom.unpack_block_key(state.block_key[active_idx],
-                                   cfg.world_blocks)        # [G,3]
+    blocks = geom.unpack_block_key(block_keys, cfg.world_blocks)   # [G,3]
     base = geom.block_to_voxel(blocks).astype(jnp.float32) * vs
     r, t = view[:3, :3], view[:3, 3]
     pbx = r[0, 0] * base[:, 0] + r[0, 1] * base[:, 1] \
@@ -369,7 +379,6 @@ def integrate_pallas(state: MapState, depth, color, pose,
         + r[1, 2] * base[:, 2] + t[1]
     pbz = r[2, 0] * base[:, 0] + r[2, 1] * base[:, 1] \
         + r[2, 2] * base[:, 2] + t[2]
-    is_real = jnp.arange(g) < n_active
     pb = jnp.stack([jnp.where(is_real, pbx, _PB_SENTINEL),
                     jnp.where(is_real, pby, _PB_SENTINEL),
                     jnp.where(is_real, pbz, _PB_SENTINEL)], axis=1)
@@ -385,7 +394,7 @@ def integrate_pallas(state: MapState, depth, color, pose,
                      r[1, 0] * ox + r[1, 1] * oy + r[1, 2] * oz,
                      r[2, 0] * ox + r[2, 1] * oy + r[2, 2] * oz], axis=0)
 
-    # ---- per-block patch-window origins from the 8 lattice corners ------
+    # per-block patch-window origins from the 8 lattice corners:
     # u(x,y,z) = fx*x/z + cx is monotone in each coordinate over a box, so
     # its min over the 8x8x8 voxel lattice is attained at a lattice corner;
     # using the SAME aff entries + op order as the kernel makes the corner
@@ -393,7 +402,6 @@ def integrate_pallas(state: MapState, depth, color, pose,
     # blocks (screen-edge blocks clip corners to the viewport first, which
     # can only widen the per-frame skip set marginally).
     h_, w_ = cam.height, cam.width
-    wcols = img.shape[1]
     cids = np.array([0, 7, 56, 63, 448, 455, 504, 511], np.int32)
     pxc = pb[:, 0:1] + aff[0, cids][None, :]                # [G,8]
     pyc = pb[:, 1:2] + aff[1, cids][None, :]
@@ -408,6 +416,26 @@ def integrate_pallas(state: MapState, depth, color, pose,
                   0, wcols - _PATCH_COLS)
     win = jnp.stack([v0, u0], axis=1)
     win = jnp.pad(win, ((0, 0), (0, 8 - 2)))                # [G,8] i32
+    return pb, win, aff
+
+
+def integrate_pallas(state: MapState, depth, color, pose,
+                     cam: CameraConfig, cfg: MapConfig,
+                     active_idx, n_active, interpret: bool = False,
+                     return_gc_stats: bool = False):
+    """Drop-in replacement for :func:`voxelhashing_tpu.integrate.integrate`
+    (Pallas TPU path). ``active_idx`` is the compacted in-frustum block
+    list (padded), ``n_active`` its true length.
+
+    ``return_gc_stats``: also return (min_abs_sdf [G], max_weight [G]) of
+    the freshly fused rows — the garbageCollectIdentify inputs, computed
+    while rows are in kernel registers so GC skips its row re-read."""
+    g = active_idx.shape[0]
+    n = cfg.num_blocks
+    img = _prep_image(depth, color, cam)
+    is_real = jnp.arange(g) < n_active
+    pb, win, aff = _pb_win_aff(state.block_key[active_idx], is_real, pose,
+                               cam, cfg, img.shape[1])
 
     # ---- fused projection + gather + combineVoxel kernel ----------------
     old_sdf = state.sdf[active_idx]                         # row gathers
@@ -426,6 +454,46 @@ def integrate_pallas(state: MapState, depth, color, pose,
         weight=state.weight.at[safe_idx].set(out_w, mode="drop"),
         color=state.color.at[safe_idx].set(out_c, mode="drop"),
         surf=state.surf.at[safe_idx].set(out_surf, mode="drop"))
+    if return_gc_stats:
+        return new_state, (out_stat[:, 1], out_stat[:, 2])
+    return new_state
+
+
+def integrate_pallas_dense(state: MapState, depth, color, pose,
+                           cam: CameraConfig, cfg: MapConfig,
+                           n_dense, cap: int, interpret: bool = False,
+                           return_gc_stats: bool = False):
+    """Slice-path integrate for a DENSE pool prefix (blockmap.dense_upto):
+    the allocated rows are exactly [0, n_dense) with n_dense <= ``cap``,
+    so old rows stream in as a static slice and fused rows write back
+    with one static update — no row gather/scatter passes at all (those
+    run at ~30% of HBM peak; this path at full rate). Frustum culling is
+    implicit: out-of-view blocks project off-screen and self-mask, and
+    free rows inside the slice carry INVALID keys -> sentinel pb.
+
+    ``cap`` must be a multiple of the kernel batch (16); callers gate on
+    ``state.dense_upto`` being in [0, cap].
+    """
+    img = _prep_image(depth, color, cam)
+    keys = lax.slice_in_dim(state.block_key, 0, cap)
+    is_real = (jnp.arange(cap) < n_dense) & (keys != geom.INVALID_KEY)
+    pb, win, aff = _pb_win_aff(keys, is_real, pose, cam, cfg, img.shape[1])
+
+    old_sdf = lax.slice_in_dim(state.sdf, 0, cap)           # views, no copy
+    old_w = lax.slice_in_dim(state.weight, 0, cap)
+    old_c = lax.bitcast_convert_type(
+        lax.slice_in_dim(state.color, 0, cap), jnp.int32)
+    out_sdf, out_w, out_c_i, out_stat = _run_fused(
+        img, pb, win, aff, old_sdf, old_w, old_c, cap, cam, cfg, interpret,
+        n_active=n_dense, copy_tail=True)                   # [cap,512]
+    out_c = lax.bitcast_convert_type(out_c_i, jnp.uint32)
+    out_surf = out_stat[:, 0] > 0.5
+
+    new_state = state._replace(
+        sdf=state.sdf.at[:cap].set(out_sdf),
+        weight=state.weight.at[:cap].set(out_w),
+        color=state.color.at[:cap].set(out_c),
+        surf=state.surf.at[:cap].set(out_surf))
     if return_gc_stats:
         return new_state, (out_stat[:, 1], out_stat[:, 2])
     return new_state
