@@ -1,5 +1,14 @@
 """Decompose the track stage: pyramid build, interleave, one L0 iteration.
 
+MEASUREMENT CAVEAT (hard-won): the on-device lax.scan(k) delta used here
+UNDER-measures — XLA hoists loop-invariant work (pyramids, interleaves)
+out of the scan, so only the per-iteration marginal shows. Per-call
+chained timing of these small jits through the tunnelled runtime is
+unreliable the other way (100-3000 ms/iter artifacts). For trustworthy
+decomposition, ablate TrackerConfig (levels/outer counts) under the
+whole-stage chained harness of profile_bench_stages.py and difference
+the results — that method produced the numbers in STATUS.md.
+
 Usage: python scripts/profile_track_parts.py [pyr|inter|assoc|lin|solve|full]
 """
 
