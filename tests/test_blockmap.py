@@ -393,3 +393,26 @@ class TestDensePool:
         state, n3 = blockmap.allocate(state, jnp.asarray(keys3), SMALL)
         assert int(state.dense_upto) == n_now + int(n3)
         assert_healthy(state, SMALL)
+
+    def test_maybe_maintain_compacts_on_fragmentation(self):
+        # fabricate fragmentation: allocate, delete most, re-allocate a
+        # few (watermark stays high, allocated count low) -> the trigger
+        # (wm - n_alloc > num_blocks//16 on the interval frame) fires
+        rng = np.random.default_rng(31)
+        state = blockmap.create(SMALL)
+        keys, _ = random_keys(rng, 120)
+        state, n = blockmap.allocate(state, jnp.asarray(keys), SMALL)
+        idx = jnp.arange(SMALL.num_blocks, dtype=jnp.int32)
+        mask = (idx < n) & (idx % 4 != 0)       # free 3/4 of the prefix
+        state = blockmap.delete_blocks(state, idx, mask, SMALL)
+        wm = int(state.dense_upto)
+        n_alloc = SMALL.num_blocks - int(state.n_free)
+        assert wm - n_alloc > SMALL.num_blocks // 16
+        # off-interval frame: no compaction
+        s2 = blockmap.maybe_maintain(state, SMALL,
+                                     jnp.int32(SMALL.maintain_interval + 1))
+        assert int(s2.dense_upto) == wm
+        # interval frame: compacted to the allocated count
+        s3 = blockmap.maybe_maintain(state, SMALL, jnp.int32(0))
+        assert int(s3.dense_upto) == n_alloc
+        assert_healthy(s3, SMALL)
