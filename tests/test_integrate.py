@@ -244,3 +244,42 @@ class TestTiledAllocCandidates:
             a, b = unpack(extra), unpack(s1)
             d = np.abs(a[:, None, :] - b[None, :, :]).max(-1).min(-1)
             assert d.max() <= 2
+
+
+class TestNoveltyDrivenAlloc:
+    def test_agreeing_pixels_drop_novel_object_allocates(self):
+        depth, _ = wall_depth()
+        pose = jnp.eye(4)
+        # model that agrees exactly with the wall -> no candidates at all
+        k_agree = np.asarray(integrate.alloc_candidates(
+            depth, pose, CAM, CFG, tile=2, model_depth=depth))
+        assert np.all(k_agree == int(INVALID_KEY))
+
+        # a novel box appears in front of the wall: its pixels disagree
+        # and their bands (and only regions near them) become candidates
+        d2 = np.asarray(depth).copy()
+        d2[20:40, 30:50] = 1.2
+        d2 = jnp.asarray(d2)
+        k_new = np.asarray(integrate.alloc_candidates(
+            d2, pose, CAM, CFG, tile=2, model_depth=depth))
+        s_new = set(k_new[k_new != int(INVALID_KEY)].tolist())
+        assert s_new, "novel geometry must produce candidates"
+        # the novel keys must cover the z~1.2 band
+        wb = CFG.world_blocks
+        zs = {int(k) // (wb * wb) - wb // 2 for k in s_new}
+        bs = CFG.block_size_world
+        z_band = set(range(int((1.2 - CFG.truncation_at(1.2)) / bs),
+                           int((1.2 + CFG.truncation_at(1.2)) / bs) + 1))
+        assert z_band & zs, (sorted(zs), sorted(z_band))
+
+    def test_model_invalid_keeps_full_coverage(self):
+        depth, _ = wall_depth()
+        pose = jnp.eye(4)
+        nan_model = jnp.full_like(depth, jnp.nan)
+        k_no = np.asarray(integrate.alloc_candidates(
+            depth, pose, CAM, CFG, tile=2))
+        k_nan = np.asarray(integrate.alloc_candidates(
+            depth, pose, CAM, CFG, tile=2, model_depth=nan_model))
+        s0 = set(k_no[k_no != int(INVALID_KEY)].tolist())
+        s1 = set(k_nan[k_nan != int(INVALID_KEY)].tolist())
+        assert s0 == s1

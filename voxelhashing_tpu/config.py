@@ -133,6 +133,11 @@ class MapConfig:
     # blocks; when the tile is depth-flat the rays duplicate and the
     # cross-ray dedup removes the copies, so 6 slots lose nothing).
     alloc_fold_tile: int = 6
+    # Novelty-driven online allocation: drop candidate pixels whose depth
+    # agrees with the raycast model within trunc/2 (their band is already
+    # fused); see integrate.alloc_candidates(model_depth=...). Offline
+    # replay ignores this (exact per-pixel coverage).
+    alloc_novelty: bool = True
     # World extent: block coords live in [-world_blocks/2, world_blocks/2).
     # 1024^3 block keys pack into one int32 (30 bits).
     world_blocks: int = 1024

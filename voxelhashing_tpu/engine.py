@@ -72,7 +72,8 @@ def create(cfg: EngineConfig, initial_pose=None) -> EngineState:
 
 def _integrate_frame(state: MapState, frame: FrameInputs, pose,
                      cfg: EngineConfig, frame_idx, stream_bitmask=None,
-                     map_cfg=None, key_filter=None, reuse_active=None):
+                     map_cfg=None, key_filter=None, reuse_active=None,
+                     model_depth=None):
     """alloc -> compactify -> integrate -> gc (CUDASceneRepHashSDF::integrate,
     CUDASceneRepHashSDF.h:64-83).
 
@@ -99,7 +100,9 @@ def _integrate_frame(state: MapState, frame: FrameInputs, pose,
     keys = integ.alloc_candidates(
         frame.depth, pose, cam, mp,
         tile=1 if cfg.offline else mp.alloc_tile,
-        phase=None if cfg.offline else frame_idx)
+        phase=None if cfg.offline else frame_idx,
+        model_depth=(model_depth
+                     if (not cfg.offline and mp.alloc_novelty) else None))
     if key_filter is not None:
         keys = key_filter(keys)
     if stream_bitmask is not None:
@@ -290,7 +293,8 @@ def step(state: EngineState, depth_raw, color_raw, cfg: EngineConfig,
     def do_integrate(m):
         new_map, _, _, n_act, ovf, missed = _integrate_frame(
             m, frame, tr.pose, cfg, state.frame,
-            stream_bitmask=stream_bitmask, reuse_active=reuse)
+            stream_bitmask=stream_bitmask, reuse_active=reuse,
+            model_depth=model.depth)
         return new_map, n_act, ovf, missed
 
     def skip_integrate(m):

@@ -175,8 +175,21 @@ def _dedup_and_fold(k3, fold: int):
 
 
 def alloc_candidates(depth, pose, cam: CameraConfig, cfg: MapConfig,
-                     view_matrix=None, tile: int = 1, phase=None):
+                     view_matrix=None, tile: int = 1, phase=None,
+                     model_depth=None):
     """Block keys touched by the truncation bands of a depth frame.
+
+    ``model_depth``: optional raycast surface prediction [h,w] (same
+    camera). NOVELTY-DRIVEN allocation: a pixel whose observation agrees
+    with the model within half its truncation (|d - md| < trunc(d)/2)
+    already has its band fused into resident blocks — it contributes no
+    new geometry and is dropped from the candidate stream, which shrinks
+    ~10x in steady state (every downstream staging/probe pass scales
+    with it). Disagreeing, model-invalid, streamed-out or newly revealed
+    pixels stay candidates, and the online drop-and-retry semantics plus
+    GC self-healing cover the residual band-edge misses (worst case the
+    far band is short by tol — the surface shell itself is always
+    covered). Online-only; offline fixpoint replay keeps exact coverage.
 
     ``tile=1``: one DDA ray per pixel over [d-t, d+t] (allocKernel,
     CUDASceneRepHashSDF.cu:158-243) — exact, used by offline replay.
@@ -196,6 +209,11 @@ def alloc_candidates(depth, pose, cam: CameraConfig, cfg: MapConfig,
         ht, wt = h // tile, w // tile
         pv = jnp.isfinite(depth) & (depth > 0.0) \
             & (depth < cfg.max_integration_distance)
+        if model_depth is not None:
+            agree = (jnp.isfinite(model_depth)
+                     & (jnp.abs(depth - model_depth)
+                        < 0.5 * cfg.truncation_at(depth)))
+            pv &= ~agree
         inf = jnp.float32(jnp.inf)
         lo = jnp.where(pv, depth, inf)
         hi = jnp.where(pv, depth, -inf)
