@@ -126,13 +126,18 @@ class MapConfig:
     # the reference's own online alloc is similarly incomplete per frame
     # (bucket-lock drops, CUDASceneRepHashSDF.cu allocBlock). The engine
     # uses tiles ONLINE only; offline fixpoint replay stays per-pixel
-    # exact. Tiling shrinks the candidate stream ~2.7x, which is what the
-    # allocator's staging scatters scale with. 1 = per-pixel.
-    alloc_tile: int = 2
+    # exact. Tiling shrinks the candidate stream (what the allocator's
+    # staging scatters and probe passes scale with) by ~tile^2/fold;
+    # tile=4 measured +1.9 fps over tile=2 at the bench operating point
+    # with the stress-suite ATE unchanged (phase rotation covers a 4x4
+    # tile's mid-depth bands within 16 frames; novelty-alloc already
+    # drops the already-mapped pixels). NOTE: falls back to per-pixel
+    # when the image dims aren't divisible by the tile. 1 = per-pixel.
+    alloc_tile: int = 4
     # Joint fold cap for the two tile rays (each ray's band crosses <= ~4
     # blocks; when the tile is depth-flat the rays duplicate and the
-    # cross-ray dedup removes the copies, so 6 slots lose nothing).
-    alloc_fold_tile: int = 6
+    # cross-ray dedup removes the copies).
+    alloc_fold_tile: int = 8
     # Novelty-driven online allocation: drop candidate pixels whose depth
     # agrees with the raycast model within trunc/2 (their band is already
     # fused); see integrate.alloc_candidates(model_depth=...). Offline
