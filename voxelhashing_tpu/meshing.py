@@ -156,8 +156,23 @@ def extract_block_range(state: MapState, block_idx, block_mask,
                   for i in range(8)]                          # 8 x [C,3]
     corner_col = [blockmap.unpack_rgb(col[i]) / 255.0 for i in range(8)]
 
+    chunk = emit_tet_triangles(sdf, corner_pos, corner_col, all_valid,
+                               tri_cap)
+    return chunk._replace(overflow=chunk.overflow + cube_ovf)
+
+
+def emit_tet_triangles(sdf, corner_pos, corner_col, all_valid,
+                       tri_cap: int) -> MeshChunk:
+    """Scene-rep-agnostic marching-tetrahedra emission.
+
+    ``sdf`` [8,C] corner TSDF samples (corner order = _CUBE_CORNERS),
+    ``corner_pos``/``corner_col``: 8 x [C,3] world positions / RGB in [0,1],
+    ``all_valid`` [C]: cubes eligible for extraction. Shared by the sparse
+    hash map (extract_block_range) and the dense voxel grid
+    (densegrid.extract_mesh).
+    """
+    c = sdf.shape[1]
     # Per-tet processing: emit up to 2 triangles each into flat slot space.
-    c = cube_cap
     tri_masks = []
     tri_verts = []
     tri_cols = []
@@ -237,7 +252,7 @@ def extract_block_range(state: MapState, block_idx, block_mask,
         cols, mode="drop")
     n = jnp.minimum(n_total, tri_cap)
     return MeshChunk(vertices=out_v, colors=out_c, n_triangles=n,
-                     overflow=(n_total - n) + cube_ovf)
+                     overflow=n_total - n)
 
 
 def extract_mesh(state: MapState, cfg: MapConfig, mesh_cfg: MeshConfig,

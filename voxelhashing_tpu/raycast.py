@@ -460,18 +460,6 @@ def render_march(state: MapState, pose, cam: CameraConfig, cfg: MapConfig,
     thres_dist = d["thres_dist"]
 
     view = geom.invert_rigid(pose)
-    origin = pose[:3, 3]
-
-    u, v = geom.pixel_grid(w, h)
-    # Unit-z-depth ray directions in world space: stepping t in z-depth.
-    # SoA components [P] throughout the march (TPU lane packing).
-    xn = ((u - cam.cx) / cam.fx).reshape(-1)
-    yn = ((v - cam.cy) / cam.fy).reshape(-1)
-    rot = pose[:3, :3]
-    dwx = rot[0, 0] * xn + rot[0, 1] * yn + rot[0, 2]
-    dwy = rot[1, 0] * xn + rot[1, 1] * yn + rot[1, 2]
-    dwz = rot[2, 0] * xn + rot[2, 1] * yn + rot[2, 2]
-    ox_, oy_, oz_ = origin[0], origin[1], origin[2]
     p = w * h
 
     # Per-pixel march bounds from the tile splat (else global depth range).
@@ -492,23 +480,61 @@ def render_march(state: MapState, pose, cam: CameraConfig, cfg: MapConfig,
         t_min = jnp.full((p,), cam.depth_min, jnp.float32)
         t_max = jnp.full((p,), cam.depth_max, jnp.float32)
 
+    def sample_soa(px, py, pz, with_color=False):
+        return trilinear_sample_soa(state, px, py, pz, cfg,
+                                    with_color=with_color,
+                                    axis_name=axis_name)
+
+    gradient_fn = None
+    if rc.use_gradients:
+        def gradient_fn(p_world):
+            return sdf_gradient(state, p_world, cfg, axis_name=axis_name)
+
+    return march_core(sample_soa, pose, cam, t_min, t_max,
+                      num_samples=rc.num_samples, ray_inc=ray_inc,
+                      thres_sample_dist=thres_sample_dist,
+                      thres_dist=thres_dist, gradient_fn=gradient_fn)
+
+
+def march_core(sample_soa, pose, cam: CameraConfig, t_min, t_max,
+               num_samples: int, ray_inc, thres_sample_dist, thres_dist,
+               gradient_fn=None) -> RaycastResult:
+    """Scene-rep-agnostic batched ray march.
+
+    ``sample_soa(px, py, pz, with_color=False)`` evaluates the TSDF at flat
+    world-coordinate arrays (the hash map's trilinear fetch here; the dense
+    voxel grid's in densegrid.py). ``t_min``/``t_max`` [P] bound each ray's
+    march band in z-depth metres. ``gradient_fn`` (optional) enables
+    analytic SDF-gradient normals (s_SDFUseGradients).
+    """
+    h, w = cam.height, cam.width
+    view = geom.invert_rigid(pose)
+    origin = pose[:3, 3]
+    u, v = geom.pixel_grid(w, h)
+    xn = ((u - cam.cx) / cam.fx).reshape(-1)
+    yn = ((v - cam.cy) / cam.fy).reshape(-1)
+    rot = pose[:3, :3]
+    dwx = rot[0, 0] * xn + rot[0, 1] * yn + rot[0, 2]
+    dwy = rot[1, 0] * xn + rot[1, 1] * yn + rot[1, 2]
+    dwz = rot[2, 0] * xn + rot[2, 1] * yn + rot[2, 2]
+    ox_, oy_, oz_ = origin[0], origin[1], origin[2]
+
     # --- Batched march: evaluate ALL samples in one fused pass. ----------
     # Instead of a sequential per-step loop (the reference's while-march,
     # RayCastSDFUtil.h:212-231 — and a dispatch-latency disaster on TPU),
     # every ray evaluates S sample positions at once ([S, P] with P minor),
     # then the first + -> - crossing is extracted with a vectorised argmax.
-    s_n = rc.num_samples
+    s_n = num_samples
     band = jnp.maximum(t_max - t_min, 0.0)
     dt = jnp.maximum(ray_inc, band / (s_n - 1))              # [P] adaptive
     si = jnp.arange(s_n, dtype=jnp.float32)[:, None]         # [S,1]
     ts = t_min[None, :] + si * dt[None, :]                   # [S,P]
     in_band = ts <= (t_max[None, :] + dt[None, :])           # one past end
 
-    sdf_s, ok_s = trilinear_sample_soa(
-        state,
+    sdf_s, ok_s = sample_soa(
         ox_ + dwx[None, :] * ts,
         oy_ + dwy[None, :] * ts,
-        oz_ + dwz[None, :] * ts, cfg, axis_name=axis_name)   # [S,P]
+        oz_ + dwz[None, :] * ts)                             # [S,P]
     ok_s &= in_band
 
     # Crossing between consecutive samples (reference test :219-230).
@@ -528,9 +554,7 @@ def render_march(state: MapState, pose, cam: CameraConfig, cfg: MapConfig,
         denom = b_s0 - b_s1
         alpha = jnp.where(jnp.abs(denom) > 1e-12, b_s0 / denom, 0.5)
         tm = b_t0 + alpha * (b_t1 - b_t0)
-        sm, ok = trilinear_sample_soa(
-            state, ox_ + dwx * tm, oy_ + dwy * tm, oz_ + dwz * tm, cfg,
-            axis_name=axis_name)
+        sm, ok = sample_soa(ox_ + dwx * tm, oy_ + dwy * tm, oz_ + dwz * tm)
         neg = ok & (sm < 0.0)
         pos = ok & (sm >= 0.0)
         b_t1 = jnp.where(neg, tm, b_t1)
@@ -543,9 +567,7 @@ def render_march(state: MapState, pose, cam: CameraConfig, cfg: MapConfig,
 
     # Final validity: interpolated |sdf| below threshold (reference :227-230).
     hx, hy, hz = ox_ + dwx * t_hit, oy_ + dwy * t_hit, oz_ + dwz * t_hit
-    s_hit, ok_hit, col = trilinear_sample_soa(state, hx, hy, hz, cfg,
-                                              with_color=True,
-                                              axis_name=axis_name)
+    s_hit, ok_hit, col = sample_soa(hx, hy, hz, with_color=True)
     p_hit = jnp.stack([hx, hy, hz], axis=-1)
     found &= ok_hit & (jnp.abs(s_hit) < thres_dist)
 
@@ -554,8 +576,8 @@ def render_march(state: MapState, pose, cam: CameraConfig, cfg: MapConfig,
     p_cam = jnp.where(jnp.isfinite(depth)[..., None], p_cam, jnp.nan)
     color = jnp.where(found[:, None], col, 0.0).reshape(h, w, 3)
 
-    if rc.use_gradients:
-        g, gok = sdf_gradient(state, p_hit, cfg, axis_name=axis_name)
+    if gradient_fn is not None:
+        g, gok = gradient_fn(p_hit)
         n_world = jnp.where((found & gok)[:, None], g, jnp.nan)
         normals = geom.rotate_vectors(view, n_world).reshape(h, w, 3)
     else:
