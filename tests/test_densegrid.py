@@ -141,3 +141,47 @@ def test_empty_grid_renders_nothing():
     assert not np.isfinite(np.asarray(res.depth)).any()
     chunk = densegrid.extract_mesh(g, GRID)
     assert int(chunk.n_triangles) == 0
+
+
+def test_dense_engine_free_tracking():
+    """The dense baseline runs the full preprocess->raycast->ICP->integrate
+    loop (denseengine.py), like the original DX11 app's dense scene rep."""
+    import jax
+    from voxelhashing_tpu import denseengine, evaluation
+    from voxelhashing_tpu.config import (EngineConfig, FilterConfig,
+                                         TrackerConfig)
+    from voxelhashing_tpu.io.synthetic import Sphere, make_trajectory
+
+    cam = CAM
+    grid_cfg = dataclasses.replace(GRID, dims=(80, 80, 64),
+                                   origin=(-0.8, -0.8, 0.9),
+                                   voxel_size=0.025, truncation=0.1)
+    cfg = EngineConfig(
+        camera=cam,
+        tracker=TrackerConfig(levels=2, max_outer_iter=(6, 4),
+                              max_inner_iter=(1, 1),
+                              dist_thres=(0.15, 0.15),
+                              normal_thres=(0.9, 0.9),
+                              angle_trans_thres=(0.8, 0.8),
+                              dist_trans_thres=(0.8, 0.8),
+                              residual_early_out=(1e-8, 1e-8)),
+        filter=FilterConfig(depth_filter=False),
+        offline=False,
+    )
+    scene = Scene(wall_z=1.8, spheres=(
+        Sphere(center=(0.0, 0.1, 1.5), radius=0.25),
+        Sphere(center=(-0.4, -0.2, 1.6), radius=0.2, color=(0.2, 0.5, 0.8)),
+        Sphere(center=(0.4, -0.1, 1.4), radius=0.15, color=(0.3, 0.7, 0.3)),
+    ), floor_y=0.7)
+    poses = make_trajectory(8, translation_step=0.006, rotation_step=0.003)
+    step = denseengine.make_step(cfg, grid_cfg, donate=False)
+    state = denseengine.create(grid_cfg)
+    est = []
+    for i, pose in enumerate(poses):
+        d, c = render_depth(pose, cam, scene, noise_sigma=0.001, seed=i)
+        d = np.nan_to_num(d, nan=0.0)
+        state, tr = step(state, jnp.asarray(d), jnp.asarray(c))
+        assert bool(tr.valid), f"tracking lost at frame {i}"
+        est.append(np.asarray(state.pose))
+    ate = evaluation.ate_rmse(est, poses)
+    assert ate < 0.012, f"dense-engine ATE {ate*1e3:.1f} mm"

@@ -27,3 +27,4 @@ from .config import (CameraConfig, EngineConfig, MapConfig,  # noqa: F401
 #   posegraph.PoseGraph                     loop closure + optimization
 #   parallel.sharded.make_sharded_step      multi-device map sharding
 #   evaluation.ate_rmse / rpe_rmse          trajectory metrics
+#   densegrid.create / integrate / render   dense voxel-grid baseline (§2.9)

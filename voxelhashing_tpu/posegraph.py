@@ -307,7 +307,7 @@ class PoseGraph:
         :meth:`optimize` numerically (same residuals/iterations).
         """
         import jax
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import Mesh, PartitionSpec as P
 
         k = len(self.keyframes)
