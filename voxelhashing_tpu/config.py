@@ -155,6 +155,13 @@ class MapConfig:
     # thrashing on churny scenes.
     maintain_interval: int = 32
     gc_enabled: bool = True
+    # GC free-pass list bound: culled blocks are compacted to this many
+    # entries before the delete pass (its table re-probe loop and row
+    # scatters then run over ~1K rows instead of the full active list —
+    # measured 4-5 ms/frame at the bench operating point). Overflow culls
+    # re-flag from fresh stats next frame (drop-and-retry, the same
+    # bounded-work semantics as allocation).
+    gc_delete_cap: int = 1024
     # Bilinear (validity-weighted) color sampling during integration — the
     # reference ships this helper but calls it commented-out
     # (bilinearFilterColor, CUDASceneRepHashSDF.cu:379-410, call site :440);
