@@ -210,3 +210,43 @@ class TestRGBDTracking:
         gx, gy = tracking.intensity_gradients(img)
         np.testing.assert_allclose(np.asarray(gx[:, 1:-1]), 1.0)
         np.testing.assert_allclose(np.asarray(gy[1:-1, :]), 0.0)
+
+
+def test_linearize_finite_with_nan_inputs_eager():
+    """Invalid input pixels carry NaN positions; the normal equations must
+    be finite WITHOUT relying on XLA's jit-time simplifier folding the
+    masked NaN*0 products (eager/interpret paths execute IEEE semantics:
+    NaN*0 = NaN — regression for the latent all-NaN-system bug)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from voxelhashing_tpu import tracking
+    from voxelhashing_tpu.config import CameraConfig
+
+    cam = CameraConfig(width=32, height=24, fx=26.0, fy=26.0,
+                       cx=15.5, cy=11.5, depth_min=0.2, depth_max=4.0)
+    h, w = cam.height, cam.width
+    pts = np.zeros((h, w, 3), np.float32)
+    u, v = np.meshgrid(np.arange(w), np.arange(h))
+    pts[..., 0] = (u - cam.cx) / cam.fx * 1.5
+    pts[..., 1] = (v - cam.cy) / cam.fy * 1.5
+    pts[..., 2] = 1.5
+    nrm = np.zeros((h, w, 3), np.float32)
+    nrm[..., 2] = 1.0
+    pts_in = pts.copy()
+    pts_in[0:6, :, :] = np.nan          # dropout band (invalid pixels)
+    nrm_in = nrm.copy()
+    nrm_in[0:6, :, :] = np.nan
+
+    delta = jnp.eye(4)
+    in_soa = (tracking._soa(jnp.asarray(pts_in))
+              + tracking._soa(jnp.asarray(nrm_in)))
+    md8 = tracking._interleave_target(jnp.asarray(pts), jnp.asarray(nrm))
+    q, nq, wgt, ok = tracking._associate(delta, in_soa, md8, cam,
+                                         0.15, 0.9, cam.depth_min,
+                                         cam.depth_max)
+    mean, inv_std = tracking._whitening(q, ok, lambda t: t)
+    a, b, sr, sw, cnt = tracking._linearize(delta, in_soa, q, nq, wgt, ok,
+                                            mean, inv_std)
+    assert int(cnt) > 100
+    assert bool(jnp.all(jnp.isfinite(a))), np.asarray(a)
+    assert bool(jnp.all(jnp.isfinite(b)))

@@ -222,11 +222,17 @@ def _linearize(delta, in_soa, q, nq, wgt, ok, mean, inv_std):
     px = r[0, 0] * ipx + r[0, 1] * ipy + r[0, 2] * ipz + t[0]
     py = r[1, 0] * ipx + r[1, 1] * ipy + r[1, 2] * ipz + t[1]
     pz = r[2, 0] * ipx + r[2, 1] * ipy + r[2, 2] * ipz + t[2]
-    okf = ok.astype(jnp.float32)
-    pcx = (px - mean[0]) * inv_std * okf
-    pcy = (py - mean[1]) * inv_std * okf
-    pcz = (pz - mean[2]) * inv_std * okf
+    # Rejected rows must be zeroed with where(), NOT by multiplying with
+    # the 0/1 mask: invalid input pixels carry NaN positions and
+    # IEEE NaN*0 = NaN. (XLA's simplifier happens to fold the masked
+    # product under jit, which hid this in compiled runs — eager/
+    # interpret paths and other backends get an all-NaN system.)
+    zero = jnp.float32(0.0)
+    pcx = jnp.where(ok, (px - mean[0]) * inv_std, zero)
+    pcy = jnp.where(ok, (py - mean[1]) * inv_std, zero)
+    pcz = jnp.where(ok, (pz - mean[2]) * inv_std, zero)
     qx, qy, qz = q
+    okf = ok.astype(jnp.float32)
     qcx = (qx - mean[0]) * inv_std * okf
     qcy = (qy - mean[1]) * inv_std * okf
     qcz = (qz - mean[2]) * inv_std * okf
