@@ -87,3 +87,32 @@ class TestHoleFill:
         mask = np.isfinite(depth)
         np.testing.assert_allclose(out[mask], depth[mask])
         assert np.isfinite(out[5, 5])
+
+
+def test_march_cost_map():
+    """RayMarchingStepsSplatting analog: tile bounds cut the march budget
+    for pixels covered by geometry; empty tiles show zero band."""
+    import jax.numpy as jnp
+    import numpy as np
+    from voxelhashing_tpu import blockmap, integrate as integ, render
+    from voxelhashing_tpu.config import (CameraConfig, MapConfig,
+                                         RaycastConfig)
+
+    cam = CameraConfig(width=64, height=48, fx=52.0, fy=52.0,
+                       cx=31.5, cy=23.5, depth_min=0.3, depth_max=4.0)
+    mp = MapConfig(voxel_size=0.02, truncation=0.06, truncation_scale=0.01,
+                   num_blocks=2048, table_size=8192, max_active_blocks=2048,
+                   world_blocks=1024)
+    rc = RaycastConfig(num_samples=32)
+    d = np.full((cam.height, cam.width), 1.5, np.float32)
+    state = blockmap.create(mp)
+    pose = jnp.eye(4)
+    state, _ = integ.allocate_from_depth(state, jnp.asarray(d), pose, cam,
+                                         mp)
+    state = integ.integrate(state, jnp.asarray(d), None, pose, cam, mp)
+    img = np.asarray(render.march_cost_map(state, pose, cam, mp, rc))
+    assert img.shape == (cam.height, cam.width, 3)
+    assert img.min() >= 0.0 and img.max() <= 1.0
+    # the wall band is a thin slab: interior pixels march far fewer
+    # samples than the full budget
+    assert np.median(img[10:-10, 10:-10, 0]) < 0.6

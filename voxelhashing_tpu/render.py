@@ -83,6 +83,46 @@ def render_frame(mode: str, model: Optional[RaycastResult],
     raise ValueError(f"unknown render mode {mode!r}")
 
 
+def march_cost_map(state, pose, cam: CameraConfig, map_cfg, rc,
+                   active_idx=None, active_mask=None):
+    """Per-pixel march-sample-count heat map in [0,1] — the diagnostic the
+    DX11 app renders via RayMarchingStepsSplatting.hlsl (visualizes how
+    tight the per-tile ray-interval bounds are; white = full budget).
+
+    Returns RGB [h,w,3]: grayscale steps/num_samples. With splat bounds
+    enabled most pixels should be well below budget; a white image means
+    the tile bounds degenerated to the global depth range.
+    """
+    import jax.numpy as _jnp
+    from . import blockmap as _bm, geometry as _geom, raycast as _rc
+    view = _geom.invert_rigid(pose)
+    if active_idx is None:
+        active_idx, n_active, _ = _bm.compactify(state, view, cam, map_cfg)
+        active_mask = _jnp.arange(active_idx.shape[0]) < n_active
+    h, w = cam.height, cam.width
+    d = rc.derived(map_cfg)
+    if rc.splat_enabled:
+        tmin_t, tmax_t = _rc.ray_interval_splat(
+            state, active_idx, active_mask, view, cam, map_cfg, rc)
+        tile = rc.splat_tile
+        iy = (_jnp.arange(h) // tile)
+        ix = (_jnp.arange(w) // tile)
+        t_min = _jnp.maximum(
+            tmin_t[iy[:, None], ix[None, :]] - map_cfg.truncation,
+            cam.depth_min)
+        t_max = _jnp.minimum(
+            tmax_t[iy[:, None], ix[None, :]] + map_cfg.truncation,
+            cam.depth_max)
+    else:
+        t_min = _jnp.full((h, w), cam.depth_min, _jnp.float32)
+        t_max = _jnp.full((h, w), cam.depth_max, _jnp.float32)
+    band = _jnp.maximum(t_max - t_min, 0.0)
+    dt = _jnp.maximum(d["ray_increment"], band / (rc.num_samples - 1))
+    steps = _jnp.clip(band / dt + 1.0, 0.0, float(rc.num_samples))
+    g = (steps / float(rc.num_samples))[..., None]
+    return _jnp.broadcast_to(g, (h, w, 3))
+
+
 def save_image(path: str, rgb) -> None:
     """Write an RGB [h,w,3] array in [0,1] as PNG (Util::writeToImage)."""
     from PIL import Image
