@@ -69,7 +69,8 @@ def apply_ablation(variant):
     elif variant == "no_dda":
         from voxelhashing_tpu.geometry import INVALID_KEY
 
-        def fake_cand(d, pose, cam_, mp_, view_matrix=None, tile=1):
+        def fake_cand(d, pose, cam_, mp_, tile=1, phase=None,
+                      model_depth=None, **kw):
             p = d.shape[0] * d.shape[1]
             n = (mp_.alloc_fold_tile * p // (tile * tile) if tile > 1
                  else mp_.alloc_fold * p)

@@ -316,13 +316,37 @@ def _allocate_unique(state: MapState, keys, cfg: MapConfig
     resident = found | overflow
     keys = jnp.where(resident, INVALID_KEY, keys)
 
-    # Compact the genuinely-new keys to a short insert list: the probe
-    # loop below pays max_probes scatter/gather passes over the WHOLE
-    # list, and in steady state (camera revisiting mapped space) nearly
-    # every candidate is already resident. Overflow past the cap drops
-    # this round's extras — retried next frame online / next fixpoint
-    # round offline, the same semantics as a staging collision.
-    icap = min(cfg.alloc_insert_cap, k)
+    # Two-tier insert: the probe loop below pays per-round scatter/gather
+    # passes sized by its key-list width, and in steady state (camera
+    # revisiting mapped space) only tens-to-hundreds of candidates are
+    # genuinely new — but burst frames (startup, fast pans, stream-in)
+    # legitimately need thousands (an under-capped first frame leaves the
+    # model too sparse to track and the engine, reference-faithfully,
+    # never integrates while lost — permanent loss). So the runtime picks
+    # the lane width: a small list when everything fits, the full
+    # alloc_insert_cap list on burst frames (lax.cond — only the taken
+    # branch executes). Overflow past the FULL cap drops this round's
+    # extras — retried next frame online / next fixpoint round offline,
+    # the same semantics as a staging collision.
+    small = min(cfg.alloc_insert_small, cfg.alloc_insert_cap, k)
+    full = min(cfg.alloc_insert_cap, k)
+    n_new = jnp.sum((keys != INVALID_KEY).astype(jnp.int32))
+    if small < full:
+        return jax.lax.cond(
+            n_new <= small,
+            lambda s: _insert_new(s, keys, cfg, small),
+            lambda s: _insert_new(s, keys, cfg, full),
+            state)
+    return _insert_new(state, keys, cfg, full)
+
+
+def _insert_new(state: MapState, keys, cfg: MapConfig, icap: int
+                ) -> Tuple[MapState, jax.Array]:
+    """Compact the new keys to an ``icap``-wide list and run the contended
+    probe-insert loop (tail of :func:`_allocate_unique`)."""
+    h = cfg.table_size
+    n_pool = cfg.num_blocks
+    k = keys.shape[0]
     if icap < k:
         is_new = keys != INVALID_KEY
         nrank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
@@ -330,7 +354,7 @@ def _allocate_unique(state: MapState, keys, cfg: MapConfig
         keys = jnp.full((icap,), INVALID_KEY, jnp.int32).at[
             jnp.where(nkeep, nrank, icap)].set(keys, mode="drop")
         k = icap
-        inst = jnp.arange(k, dtype=jnp.int32)
+    inst = jnp.arange(k, dtype=jnp.int32)
 
     # Pool slots come off the incremental free stack (consumeHeap,
     # VoxelUtilHashSDF.h:518-529): pop from the top, deterministically
