@@ -160,14 +160,35 @@ def integrate(grid: DenseGrid, cfg: DenseGridConfig, depth, color, pose,
     return DenseGrid(sdf=sdf, weight=w_new, color=packed)
 
 
-def trilinear_sample_soa(grid: DenseGrid, cfg: DenseGridConfig, px, py, pz,
-                         with_color: bool = False):
-    """(sdf, valid[, color]) at flat world-coordinate arrays.
+def _pack_quads(flat, nx: int):
+    """Neighbor-packed table: row i = (v[i], v[i+1], v[i+nx], v[i+nx+1]).
 
-    The dense analog of blockmap trilinear sampling
-    (distanceForPointTriLinear, RayCasting.hlsl:71-109): invalid when any
-    of the 8 corners is out of bounds or zero-weight.
-    """
+    TPU gather cost scales with the INDEX count, not the row width
+    (BASELINE.md layout rules), so packing a trilinear cell's same-z
+    corners into one 4-wide row turns the 8 corner gathers into 2 row
+    gathers. Rows near the flat end wrap — harmless, the sampler's
+    in-bounds test already excludes cells whose +1 neighbours leave the
+    grid."""
+    s1 = jnp.concatenate([flat[1:], flat[:1]])
+    sn = jnp.concatenate([flat[nx:], flat[:nx]])
+    sn1 = jnp.concatenate([flat[nx + 1:], flat[:nx + 1]])
+    return jnp.stack([flat, s1, sn, sn1], axis=1)          # [N,4]
+
+
+def _packed_tables(grid: DenseGrid, cfg: DenseGridConfig,
+                   with_color: bool = False):
+    """Quad tables for :func:`_trilinear_packed` (build once per render)."""
+    nx = cfg.dims[0]
+    t = (_pack_quads(grid.sdf.reshape(-1), nx),
+         _pack_quads(grid.weight.reshape(-1), nx))
+    if with_color:
+        t += (_pack_quads(grid.color.reshape(-1), nx),)
+    return t
+
+
+def _trilinear_packed(tables, cfg: DenseGridConfig, px, py, pz,
+                      with_color: bool = False):
+    """(sdf, valid[, color]) at flat world coordinates from quad tables."""
     nx, ny, nz = cfg.dims
     ox, oy, oz = cfg.origin
     inv = 1.0 / cfg.voxel_size
@@ -183,24 +204,43 @@ def trilinear_sample_soa(grid: DenseGrid, cfg: DenseGridConfig, px, py, pz,
     bx = jnp.clip(bx, 0, nx - 2)
     by = jnp.clip(by, 0, ny - 2)
     bz = jnp.clip(bz, 0, nz - 2)
+    lin0 = (bz * ny + by) * nx + bx
+    lin1 = lin0 + nx * ny
 
-    sdf_flat = grid.sdf.reshape(-1)
-    w_flat = grid.weight.reshape(-1)
-    c_flat = grid.color.reshape(-1)
-    s = jnp.zeros(qx.shape, jnp.float32)
-    col = jnp.zeros(qx.shape + (3,), jnp.float32) if with_color else None
-    valid = inb
-    for (dx, dy, dz) in _CUBE_CORNERS:
-        lin = ((bz + dz) * ny + (by + dy)) * nx + (bx + dx)
-        tw = ((fx if dx else 1.0 - fx) * (fy if dy else 1.0 - fy)
-              * (fz if dz else 1.0 - fz))
-        s = s + tw * sdf_flat[lin]
-        valid &= w_flat[lin] > 0.0
-        if with_color:
-            col = col + tw[..., None] * blockmap.unpack_rgb(c_flat[lin])
+    sdf_q, w_q = tables[0], tables[1]
+    s0 = sdf_q[lin0]                                       # [...,4] z=0
+    s1 = sdf_q[lin1]                                       # [...,4] z=1
+    w0 = w_q[lin0]
+    w1 = w_q[lin1]
+    valid = inb & jnp.all(w0 > 0.0, axis=-1) & jnp.all(w1 > 0.0, axis=-1)
+
+    # quad row order = (x0y0, x1y0, x0y1, x1y1)
+    wx = jnp.stack([1.0 - fx, fx, 1.0 - fx, fx], axis=-1)
+    wy = jnp.stack([1.0 - fy, 1.0 - fy, fy, fy], axis=-1)
+    wq = wx * wy                                           # [...,4]
+    s = (jnp.sum(wq * s0, axis=-1) * (1.0 - fz)
+         + jnp.sum(wq * s1, axis=-1) * fz)
     if with_color:
+        c0 = blockmap.unpack_rgb(tables[2][lin0])          # [...,4,3]
+        c1 = blockmap.unpack_rgb(tables[2][lin1])
+        col = (jnp.sum(wq[..., None] * c0, axis=-2) * (1.0 - fz[..., None])
+               + jnp.sum(wq[..., None] * c1, axis=-2) * fz[..., None])
         return s, valid, col / 255.0
     return s, valid
+
+
+def trilinear_sample_soa(grid: DenseGrid, cfg: DenseGridConfig, px, py, pz,
+                         with_color: bool = False):
+    """(sdf, valid[, color]) at flat world-coordinate arrays.
+
+    The dense analog of blockmap trilinear sampling
+    (distanceForPointTriLinear, RayCasting.hlsl:71-109): invalid when any
+    of the 8 corners is out of bounds or zero-weight. One-shot API —
+    builds the packed tables per call; a render (5 sample passes) builds
+    them once via :func:`_packed_tables`.
+    """
+    tables = _packed_tables(grid, cfg, with_color=with_color)
+    return _trilinear_packed(tables, cfg, px, py, pz, with_color=with_color)
 
 
 def _ray_box_band(pose, cam: CameraConfig, cfg: DenseGridConfig):
@@ -240,10 +280,11 @@ def render(grid: DenseGrid, cfg: DenseGridConfig, pose, cam: CameraConfig,
     :func:`raycast.march_core`."""
     t_min, t_max = _ray_box_band(pose, cam, cfg)
     td = cfg.voxel_size * 5.0 if thres_dist is None else thres_dist
+    tables = _packed_tables(grid, cfg, with_color=True)
 
     def sample_soa(px, py, pz, with_color=False):
-        return trilinear_sample_soa(grid, cfg, px, py, pz,
-                                    with_color=with_color)
+        return _trilinear_packed(tables, cfg, px, py, pz,
+                                 with_color=with_color)
 
     return march_core(sample_soa, pose, cam, t_min, t_max,
                       num_samples=num_samples,
