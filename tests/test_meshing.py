@@ -86,3 +86,35 @@ class TestExtract:
         mean = cols.reshape(-1, 3).mean(axis=0)
         target = np.array([0.8, 0.2, 0.1]) * (7.0 / 8.0)
         np.testing.assert_allclose(mean, target, atol=0.08)
+
+
+def test_max_triangles_budget_enforced():
+    """s_marchingCubesMaxNumTriangles clamps whole-map extraction (the
+    reference's appendTriangle overflow clamp) with a warning."""
+    import warnings
+    import dataclasses
+    import numpy as np
+    import jax.numpy as jnp
+    from voxelhashing_tpu import blockmap, integrate as integ, meshing
+    from voxelhashing_tpu.config import CameraConfig, MapConfig, MeshConfig
+
+    cam = CameraConfig(width=64, height=48, fx=52.0, fy=52.0,
+                       cx=31.5, cy=23.5, depth_min=0.3, depth_max=4.0)
+    mp = MapConfig(voxel_size=0.02, truncation=0.06, truncation_scale=0.01,
+                   num_blocks=2048, table_size=8192, max_active_blocks=2048,
+                   world_blocks=1024)
+    d = np.full((cam.height, cam.width), 1.5, np.float32)
+    state = blockmap.create(mp)
+    pose = jnp.eye(4)
+    state, _ = integ.allocate_from_depth(state, jnp.asarray(d), pose, cam, mp)
+    state = integ.integrate(state, jnp.asarray(d), None, pose, cam, mp)
+
+    full_v, _ = meshing.extract_mesh(state, mp, MeshConfig())
+    assert len(full_v) > 50
+    cap = len(full_v) // 2
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        v, c = meshing.extract_mesh(state, mp,
+                                    MeshConfig(max_triangles=cap))
+    assert len(v) == cap
+    assert any("truncated" in str(x.message) for x in w)

@@ -263,10 +263,16 @@ def extract_mesh(state: MapState, cfg: MapConfig, mesh_cfg: MeshConfig,
     CUDAMarchingCubesHashSDF.cpp:147-190).
 
     Returns host arrays (triangles [T,3,3] f32, colors [T,3,3] f32).
+    Total output is clamped at ``mesh_cfg.max_triangles``
+    (s_marchingCubesMaxNumTriangles — the reference's appendTriangle
+    overflow clamp, MarchingCubesSDFUtil.h:289-313); a warning reports
+    any truncation.
     """
     active_idx, n_active = blockmap.compactify_all(state, cfg)
     n_active = int(n_active)
     all_v, all_c = [], []
+    total = 0
+    truncated = False
     fn = jax.jit(lambda s, bi, bm: extract_block_range(
         s, bi, bm, cfg, mesh_cfg))
     bpc = min(blocks_per_chunk, active_idx.shape[0])
@@ -280,8 +286,21 @@ def extract_mesh(state: MapState, cfg: MapConfig, mesh_cfg: MeshConfig,
         chunk = fn(state, idx, mask)
         n = int(chunk.n_triangles)
         if n > 0:
-            all_v.append(np.asarray(chunk.vertices[:n]))
-            all_c.append(np.asarray(chunk.colors[:n]))
+            take = min(n, mesh_cfg.max_triangles - total)
+            if take < n:
+                truncated = True
+            if take > 0:
+                all_v.append(np.asarray(chunk.vertices[:take]))
+                all_c.append(np.asarray(chunk.colors[:take]))
+                total += take
+        if total >= mesh_cfg.max_triangles:
+            truncated = True
+            break
+    if truncated:
+        import warnings
+        warnings.warn(
+            f"extract_mesh: triangle budget s_marchingCubesMaxNumTriangles="
+            f"{mesh_cfg.max_triangles} reached; output truncated")
     if not all_v:
         return (np.zeros((0, 3, 3), np.float32),
                 np.zeros((0, 3, 3), np.float32))
