@@ -87,6 +87,16 @@ def frame_source(args, cfg):
             d, c, p = seq.read_frame(i)
             d, c = _resample(d, c, seq.camera, cam)
             yield d, c, p
+    elif kind == "dump":
+        # mLib .sensor binary dump (BinaryDumpReader,
+        # s_binaryDumpSensorFile replay path)
+        from voxelhashing_tpu.io.binarydump import BinaryDumpReader
+        r = BinaryDumpReader(path)
+        n = min(len(r), args.frames) if args.frames else len(r)
+        for i in range(n):
+            d, c, p = r.read_frame(i)
+            d, c = _resample(d, c, r.camera, cam)
+            yield d, c, p
     elif kind == "sens":
         # comma-separated files chain into one sequence (loadNextSensFile,
         # DepthSensing.cpp:959-979)

@@ -352,3 +352,44 @@ class TestNativeOcciAndPrefetch:
         it = pf.frames()
         next(it)
         pf.close()   # must not hang with the worker blocked on a full queue
+
+
+def test_binarydump_roundtrip(tmp_path):
+    """mLib .sensor wire format (BinaryDumpReader analog): write -> read
+    bit-exact, trajectory + intrinsics preserved, MINF invalids -> NaN."""
+    import numpy as np
+    from voxelhashing_tpu.config import CameraConfig
+    from voxelhashing_tpu.io.binarydump import BinaryDumpReader, write_sensor
+
+    cam = CameraConfig(width=32, height=24, fx=26.0, fy=26.5,
+                       cx=15.5, cy=11.25)
+    rng = np.random.RandomState(0)
+    frames = []
+    poses = []
+    for i in range(3):
+        d = rng.uniform(0.5, 3.0, (24, 32)).astype(np.float32)
+        d[0, : 5] = np.nan                       # invalid band
+        c = rng.uniform(0, 1, (24, 32, 3)).astype(np.float32)
+        frames.append((d, c))
+        p = np.eye(4, dtype=np.float32)
+        p[0, 3] = 0.01 * i
+        poses.append(p)
+    path = str(tmp_path / "seq.sensor")
+    assert write_sensor(path, cam, frames, trajectory=poses) == 3
+
+    r = BinaryDumpReader(path)
+    assert r.version == 2
+    assert len(r) == 3
+    assert (r.depth_width, r.depth_height) == (32, 24)
+    c2 = r.camera
+    assert (c2.fx, c2.fy, c2.cx, c2.cy) == (26.0, 26.5, 15.5, 11.25)
+    for i in range(3):
+        d, c, p = r.read_frame(i)
+        d0, c0 = frames[i]
+        valid = np.isfinite(d0)
+        np.testing.assert_array_equal(np.isfinite(d), valid)
+        np.testing.assert_array_equal(d[valid], d0[valid])
+        # color quantised to u8 on disk
+        np.testing.assert_allclose(c, np.round(c0 * 255) / 255, atol=1/255)
+        np.testing.assert_array_equal(p, poses[i])
+    r.close()
