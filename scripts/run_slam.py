@@ -110,22 +110,26 @@ def frame_source(args, cfg):
         hd = r.header
         src_cam, need_cal = _sens_source_cam(hd, cam)
         n = min(len(r), args.frames) if args.frames else len(r)
-        for i, (d, c, p) in enumerate(r.frames()):
-            if i >= n:
-                break
-            if need_cal:
-                # calibration path: remap depth into color space and run
-                # the pipeline in the color camera (s_bUseCameraCalibration,
-                # CUDARGBDSensor.cpp:200-217)
-                from voxelhashing_tpu.ops.image import remap_depth_to_color
-                d = remap_depth_to_color(
-                    d, hd.calibration_depth.intrinsic,
-                    hd.calibration_color.intrinsic,
-                    hd.color_width, hd.color_height,
-                    hd.calibration_depth.extrinsic,
-                    hd.calibration_color.extrinsic)
-            d, c = _resample(d, c, src_cam, cam)
-            yield d, c, p
+        try:
+            for i, (d, c, p) in enumerate(r.frames()):
+                if i >= n:
+                    break
+                if need_cal:
+                    # calibration path: remap depth into color space and
+                    # run the pipeline in the color camera
+                    # (s_bUseCameraCalibration, CUDARGBDSensor.cpp:200-217)
+                    from voxelhashing_tpu.ops.image import (
+                        remap_depth_to_color)
+                    d = remap_depth_to_color(
+                        d, hd.calibration_depth.intrinsic,
+                        hd.calibration_color.intrinsic,
+                        hd.color_width, hd.color_height,
+                        hd.calibration_depth.extrinsic,
+                        hd.calibration_color.extrinsic)
+                d, c = _resample(d, c, src_cam, cam)
+                yield d, c, p
+        finally:
+            r.close()     # stop the decode thread (early-exit included)
     else:
         raise SystemExit(f"unknown input kind {kind!r} "
                          f"(use synthetic / tum:PATH / sens:PATH)")

@@ -419,14 +419,25 @@ class PrefetchReader:
         self._thread = threading.Thread(target=self._work, daemon=True)
         self._thread.start()
 
+    def _put(self, item) -> bool:
+        # stop-aware bounded put: an abandoned reader's worker must not
+        # block forever on a full queue (it pins the decoded frames and
+        # survives the consumer — close() can always terminate it)
+        while not self._stop:
+            try:
+                self._q.put(item, timeout=0.25)
+                return True
+            except self._queue_mod.Full:
+                continue
+        return False
+
     def _work(self):
         try:
             for i in range(self._n):
-                if self._stop:
+                if self._stop or not self._put(self.reader.read_frame(i)):
                     break
-                self._q.put(self.reader.read_frame(i))
         finally:
-            self._q.put(None)
+            self._put(None)
 
     def __len__(self):
         return self._n

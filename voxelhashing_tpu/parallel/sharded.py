@@ -87,16 +87,21 @@ def create_sharded(cfg: EngineConfig, mesh: Mesh,
     return ShardedState(map=stacked, pose=pose, frame=jnp.int32(0)), lcfg
 
 
-def make_sharded_step(cfg: EngineConfig, mesh: Mesh):
+def make_sharded_step(cfg: EngineConfig, mesh: Mesh,
+                      with_stream_mask: bool = False):
     """jit-compiled distributed per-frame step over ``mesh``.
 
-    Returns ``fn(sharded_state, depth, color) -> (sharded_state, pose)``.
+    Returns ``fn(sharded_state, depth, color) -> (sharded_state, pose)``;
+    with ``with_stream_mask`` the step takes the (replicated) eviction
+    bitmask as a 4th argument and masks allocation candidates against it
+    (isSDFBlockStreamedOut — see parallel/streaming.py for the sharded
+    tiering manager that maintains it).
     """
     n_dev = mesh.devices.size
     lcfg = local_map_config(cfg.map, n_dev)
     cam = cfg.camera
 
-    def local_step(mstate_b, pose, frame_idx, depth, color):
+    def local_step(mstate_b, pose, frame_idx, depth, color, bitmask=None):
         # shard_map passes the local block of the leading axis: [1, ...]
         mstate = jax.tree_util.tree_map(lambda x: x[0], mstate_b)
         frame = preprocess(depth, color, cam, cfg.filter)
@@ -153,15 +158,33 @@ def make_sharded_step(cfg: EngineConfig, mesh: Mesh):
         def integrate_branch(m):
             m2, _, _, _, _, _ = engine_mod._integrate_frame(
                 m, frame, new_pose, cfg, frame_idx,
-                map_cfg=lcfg, key_filter=lambda k: _owned(k, n_dev))
+                map_cfg=lcfg, key_filter=lambda k: _owned(k, n_dev),
+                stream_bitmask=bitmask)
             return m2
 
         mstate = lax.cond(do_int, integrate_branch, lambda m: m, mstate)
         mstate_b = jax.tree_util.tree_map(lambda x: x[None], mstate)
         return mstate_b, new_pose, frame_idx + 1
 
+    if with_stream_mask:
+        smapped = jax.shard_map(
+            local_step, mesh=mesh,
+            in_specs=(P(AXIS), P(), P(), P(), P(), P()),
+            out_specs=(P(AXIS), P(), P()),
+            check_vma=False,
+        )
+
+        @jax.jit
+        def step(state: ShardedState, depth, color, bitmask):
+            m, pose, fidx = smapped(state.map, state.pose, state.frame,
+                                    depth, color, bitmask)
+            return ShardedState(map=m, pose=pose, frame=fidx), pose
+
+        return step
+
     smapped = jax.shard_map(
-        local_step, mesh=mesh,
+        lambda mb, po, fi, d, c: local_step(mb, po, fi, d, c),
+        mesh=mesh,
         in_specs=(P(AXIS), P(), P(), P(), P()),
         out_specs=(P(AXIS), P(), P()),
         check_vma=False,
