@@ -221,6 +221,17 @@ class TrackerConfig:
     # Below the gate, singular directions weaker than s0/cond_thres are
     # truncated rather than amplified (see tracking._solve6).
     cond_thres: float = 2.0e4
+    # Planar-degeneracy (normal-anisotropy) lost gate, renderer-independent
+    # (tracking._planarity): the splat renderer's surface roughness fakes
+    # enough rank that a bare wall passes the cond gate (cond ~1.5e3 vs
+    # 2e4) — the accepted input normals' scatter matrix exposes it in any
+    # mode. A frame is degenerate when the normalised scatter's second
+    # invariant I2 ~ lam2/lam1 falls below this. Measured envelope
+    # (scripts/measure_planarity.py): bare wall 8.2e-4 (bilateral-filtered
+    # synthetic); hardest trackable scene (noisy clutter) 1.7e-2; easy
+    # scenes >=0.1. 4e-3 = the geometric mean, >=4x margin to both bands.
+    # 0 disables.
+    normal_aniso_thres: float = 4.0e-3
     # Joint RGB-D (photometric + geometric) tracking — the reference's
     # CUDACameraTrackingMultiResRGBD variant, compiled in but disabled by
     # default (const bool useRGBDTracking = false, DepthSensing.cpp:816).
@@ -374,6 +385,17 @@ def _parse_value(raw: str):
         return True
     if low == "false":
         return False
+    # space-separated numeric vectors ("1.0f 1.0f 1.0f",
+    # "513 513 513" — the s_streaming* vec3 grammar)
+    toks = raw.split()
+    if len(toks) > 1:
+        vals = [_parse_scalar(t) for t in toks]
+        if all(isinstance(v, (int, float)) for v in vals):
+            return vals
+    return _parse_scalar(raw)
+
+
+def _parse_scalar(raw: str):
     raw = raw.rstrip("fF") if re.match(r"^-?[\d.]+([eE][-+]?\d+)?[fF]$", raw) else raw
     try:
         if re.match(r"^-?\d+$", raw):
@@ -418,7 +440,23 @@ def engine_config_from_parameters(params: dict,
         integration_weight_max=float(
             params.get("s_SDFIntegrationWeightMax",
                        cfg.map.integration_weight_max)),
+        gc_enabled=bool(params.get("s_garbageCollectionEnabled",
+                                   cfg.map.gc_enabled)),
+        gc_starve_interval=int(params.get("s_garbageCollectionStarve",
+                                          cfg.map.gc_starve_interval)),
     )
+    # Map capacities (zParametersDefault.txt:34-36): the pool size follows
+    # s_hashNumSDFBlocks directly; the open-addressing table replaces the
+    # bucketed table (s_hashNumBuckets x HASH_BUCKET_SIZE slots) and is
+    # sized to the next power of two >= max(2*num_blocks, numBuckets) so
+    # probe chains stay short at the requested load.
+    if "s_hashNumSDFBlocks" in params or "s_hashNumBuckets" in params:
+        nb = int(params.get("s_hashNumSDFBlocks", mp.num_blocks))
+        want = max(2 * nb, int(params.get("s_hashNumBuckets", 0)), 256)
+        mp = dataclasses.replace(
+            mp, num_blocks=nb,
+            table_size=1 << (want - 1).bit_length(),
+            max_active_blocks=min(mp.max_active_blocks, nb))
     rc = dataclasses.replace(
         cfg.raycast,
         ray_increment_factor=float(
@@ -479,10 +517,26 @@ def engine_config_from_parameters(params: dict,
         thresh_factor=float(params.get("s_SDFMarchingCubeThreshFactor",
                                        cfg.mesh.thresh_factor)),
     )
+    def _vec0(v, default):
+        """First component of a vec3 key (chunks are isotropic here; the
+        reference's own chunk math treats the extents per-axis but every
+        shipped config uses equal components)."""
+        if v is None:
+            return default
+        return v[0] if isinstance(v, list) else v
+
     streaming = dataclasses.replace(
         cfg.streaming,
         enabled=bool(params.get("s_streamingEnabled", cfg.streaming.enabled)),
         out_parts=int(params.get("s_streamingOutParts", cfg.streaming.out_parts)),
+        chunk_size=float(_vec0(params.get("s_streamingVoxelExtents"),
+                               cfg.streaming.chunk_size)),
+        grid_dim=int(_vec0(params.get("s_streamingGridDimensions"),
+                           cfg.streaming.grid_dim)),
+        # the reference marks s_streamingRadius "NOT USED; computed
+        # automatically" (zParametersDefault.txt:99) but honours the key
+        # when present; same here
+        radius=float(params.get("s_streamingRadius", cfg.streaming.radius)),
     )
     return dataclasses.replace(
         cfg, camera=cam, map=mp, tracker=tk, raycast=rc, filter=flt,
