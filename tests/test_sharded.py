@@ -132,6 +132,75 @@ class TestSharded:
                        - np.asarray(res_1.color)[both])
         assert c_err.max() < 2 / 255.0
 
+    def test_rgbd_track_distributed_matches_single(self, mesh):
+        """RGBD (photometric+depth) tracking with a psum reduce_fn over
+        row-sharded inputs == the single-device result on the same frames.
+
+        Guards the reduction fold: the color system must join the depth
+        system BEFORE the mesh reduction (tracking.track inner loop) — a
+        post-psum fold would mix each device's LOCAL color rows into the
+        globally-reduced depth system."""
+        import dataclasses
+        from jax import lax
+        from jax.sharding import PartitionSpec as P
+        from voxelhashing_tpu import tracking
+        from voxelhashing_tpu.ops.image import preprocess
+
+        poses = make_trajectory(2)
+        cfg_t = dataclasses.replace(CFG.tracker, use_rgbd=True,
+                                    weight_color=0.5)
+        frames = []
+        for p in poses:
+            d, c = render_depth(p, CAM, SCENE)
+            frames.append(preprocess(jnp.asarray(np.nan_to_num(d, nan=0.0)),
+                                     jnp.asarray(c), CAM, CFG.filter))
+        f0, f1 = frames
+        pose0 = jnp.asarray(poses[0], jnp.float32)
+
+        tr1 = tracking.track(f1.points, f1.normals, f0.points, f0.normals,
+                             pose0, CAM, cfg_t,
+                             input_intensity=f1.intensity,
+                             model_intensity=f0.intensity,
+                             weight_color=cfg_t.weight_color)
+        assert bool(tr1.valid)
+
+        def shard_track(in_p, in_n, in_i, md_p, md_n, md_i, pose):
+            psum = lambda t: tuple(lax.psum(x, "d") for x in t)  # noqa
+            tr = tracking.track(in_p, in_n, md_p, md_n, pose, CAM, cfg_t,
+                                input_intensity=in_i, model_intensity=md_i,
+                                weight_color=cfg_t.weight_color,
+                                reduce_fn=psum)
+            return tr.pose, tr.valid
+
+        fn = jax.jit(jax.shard_map(
+            shard_track, mesh=mesh,
+            in_specs=(P("d"), P("d"), P("d"), P(), P(), P(), P()),
+            out_specs=(P(), P()), check_vma=False))
+        pose_d, valid_d = fn(f1.points, f1.normals, f1.intensity,
+                             f0.points, f0.normals, f0.intensity, pose0)
+        assert bool(valid_d)
+        np.testing.assert_allclose(np.asarray(pose_d),
+                                   np.asarray(tr1.pose), atol=2e-4)
+
+    def test_sharded_step_rgbd(self, mesh):
+        """Full sharded step with use_rgbd=True (splat model + psum'd
+        color z-min combine) still tracks the trajectory."""
+        import dataclasses
+        cfg_r = dataclasses.replace(
+            CFG, tracker=dataclasses.replace(CFG.tracker, use_rgbd=True))
+        poses = make_trajectory(4)
+        step = sharded.make_sharded_step(cfg_r, mesh)
+        state, lcfg = sharded.create_sharded(cfg_r, mesh,
+                                             initial_pose=poses[0])
+        est = []
+        for p in poses:
+            d, c = render_depth(p, CAM, SCENE)
+            state, pose = step(state, jnp.asarray(np.nan_to_num(d, nan=0.0)),
+                               jnp.asarray(c))
+            est.append(np.asarray(pose))
+        ate = evaluation.ate_rmse(est, [np.asarray(p) for p in poses])
+        assert ate < 0.02, ate
+
     def test_sharded_step_march_mode(self, mesh):
         """The sharded STEP with rc.mode='march' tracks (distributed
         trilinear model for ICP)."""

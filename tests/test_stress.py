@@ -65,41 +65,77 @@ def render_seq(scene, poses, noisy=False):
     return frames
 
 
+# ATE bounds = 1.5x the max of the measured round-4/round-5 values per
+# scenario (BASELINE.md stress table; r3<->r4 showed legitimate
+# allocation-order shifts of up to 1.8x, so the envelope spans both) —
+# the next shift that doubles a scenario's ATE fails loudly instead of
+# hiding under a loose 20 mm blanket. Regenerate the measured column with
+# scripts/measure_stress_ate.py when a legitimate change moves the floor.
+import pytest
+
+
 class TestClutterOcclusion:
-    def test_clutter_with_kinect_noise(self):
-        """Occlusion-heavy scene + disparity quantisation + edge dropout."""
+    @pytest.mark.parametrize("noisy,bound_m", [
+        (True, 0.0036),    # measured 2.4 mm (r4) / 2.1 (r5)
+        (False, 0.0056),   # measured 3.7 mm (r4) / 2.1 (r5)
+    ])
+    def test_clutter_occlusion(self, noisy, bound_m):
+        """Occlusion-heavy scene, exact and Kinect-noise variants."""
         poses = make_trajectory(10)
-        frames = render_seq(clutter_scene(), poses, noisy=True)
+        frames = render_seq(clutter_scene(), poses, noisy=noisy)
         est, diags, _ = run_frames(frames, init_pose=poses[0])
         assert all(bool(d.tracking_valid) for d in diags)
         ate = evaluation.ate_rmse(est, poses, align=False)
-        # quantisation floor at 2 m is ~11 mm; tracking must stay within
-        # a few quantisation steps over the run
-        assert ate < 0.02, f"ATE {ate*1000:.1f} mm"
+        assert ate < bound_m, f"ATE {ate*1000:.1f} mm (bound {bound_m*1e3})"
 
-    def test_fast_motion(self):
+    @pytest.mark.parametrize("noisy,bound_m", [
+        (False, 0.0068),   # measured 4.5 mm (r4) / 3.9 (r5)
+        (True, 0.0081),    # measured 5.1 mm (r4) / 5.4 (r5)
+    ])
+    def test_fast_motion(self, noisy, bound_m):
         """5x faster handheld motion (~4 cm + ~1.1 deg per frame)."""
         poses = make_trajectory(8, translation_step=0.04,
                                 rotation_step=0.02)
-        frames = render_seq(clutter_scene(), poses)
+        frames = render_seq(clutter_scene(), poses, noisy=noisy)
         est, diags, _ = run_frames(frames, init_pose=poses[0])
         assert all(bool(d.tracking_valid) for d in diags)
         ate = evaluation.ate_rmse(est, poses, align=False)
-        assert ate < 0.02, f"ATE {ate*1000:.1f} mm"
+        assert ate < bound_m, f"ATE {ate*1000:.1f} mm (bound {bound_m*1e3})"
+
+
+class TestEasyScene:
+    @pytest.mark.parametrize("noisy,bound_m", [
+        (False, 0.0098),   # measured 6.5 mm (r4) / 3.7 (r5)
+        (True, 0.0185),    # measured 12.3 mm (r4) / 11.2 (r5)
+    ])
+    def test_easy(self, noisy, bound_m):
+        """The default plane+spheres scene, exact and noisy."""
+        poses = make_trajectory(10)
+        frames = render_seq(Scene(), poses, noisy=noisy)
+        est, diags, _ = run_frames(frames, init_pose=poses[0])
+        assert all(bool(d.tracking_valid) for d in diags)
+        ate = evaluation.ate_rmse(est, poses, align=False)
+        assert ate < bound_m, f"ATE {ate*1000:.1f} mm (bound {bound_m*1e3})"
 
 
 class TestDegeneracyAndRecovery:
-    def test_wall_lost_then_recover(self):
-        """Panning onto a mapped-but-bare wall leaves 3 DoF unconstrained:
-        the condition gate must declare tracking lost, the frames must be
-        skipped without integration, and tracking must recover once
-        structure re-enters the view.
+    import pytest as _pytest
 
-        Uses the reference-faithful ``march`` renderer (a flat wall's model
-        normals come out exactly planar -> the 6x6 is truly rank-3; the
-        splat renderer's surface roughness weakly fakes the missing
-        constraints) and GT-init (s_binaryDumpSensorUseTrajectoryOnlyInit),
-        the mode the reference validates degenerate stretches in.
+    @_pytest.mark.parametrize("mode", ["march", "splat"])
+    def test_wall_lost_then_recover(self, mode):
+        """Panning onto a mapped-but-bare wall leaves 3 DoF unconstrained:
+        the lost gates must declare tracking lost, the frames must be
+        skipped without integration, and tracking must recover once
+        structure re-enters the view — in BOTH render modes.
+
+        In the reference-faithful ``march`` mode the flat wall's model
+        normals come out exactly planar -> the 6x6 is truly rank-3 and the
+        condition gate fires. In the production ``splat`` mode the
+        renderer's surface roughness weakly fakes the missing constraints
+        (cond ~1.5e3 < the 2e4 gate) — there the renderer-independent
+        normal-anisotropy gate (tracking._planarity) must fire instead.
+        GT-init (s_binaryDumpSensorUseTrajectoryOnlyInit) is the mode the
+        reference validates degenerate stretches in.
         """
         import dataclasses
         from voxelhashing_tpu.config import RaycastConfig
@@ -129,7 +165,7 @@ class TestDegeneracyAndRecovery:
             poses.append(p)
 
         cfg = dataclasses.replace(CFG, use_trajectory_only_init=True,
-                                  raycast=RaycastConfig(mode="march"))
+                                  raycast=RaycastConfig(mode=mode))
         step = engine.make_step(cfg, with_hint=True, donate=False)
         state = engine.create(cfg, initial_pose=poses[0])
         diags = []

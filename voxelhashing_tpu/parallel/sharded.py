@@ -101,6 +101,8 @@ def make_sharded_step(cfg: EngineConfig, mesh: Mesh,
     lcfg = local_map_config(cfg.map, n_dev)
     cam = cfg.camera
 
+    use_rgbd = cfg.tracker.use_rgbd
+
     def local_step(mstate_b, pose, frame_idx, depth, color, bitmask=None):
         # shard_map passes the local block of the leading axis: [1, ...]
         mstate = jax.tree_util.tree_map(lambda x: x[0], mstate_b)
@@ -111,6 +113,7 @@ def make_sharded_step(cfg: EngineConfig, mesh: Mesh,
         active_idx, n_active, _ = blockmap.compactify(mstate, view, cam,
                                                       lcfg)
         active_mask = jnp.arange(active_idx.shape[0]) < n_active
+        gmodel_int = None
         if cfg.raycast.mode == "march":
             # distributed trilinear march: every fetch is a masked psum
             # over the hash partition (raycast.render_march axis_name) —
@@ -121,13 +124,18 @@ def make_sharded_step(cfg: EngineConfig, mesh: Mesh,
                                           active_mask=active_mask,
                                           axis_name=AXIS)
             gpts, gnrm = gmodel.points, gmodel.normals
+            if use_rgbd:
+                from ..ops.image import color_to_intensity
+                gmodel_int = jnp.where(
+                    jnp.isfinite(gmodel.depth),
+                    color_to_intensity(gmodel.color), jnp.nan)
         else:
             # splat local blocks, one pmin combines the z-buffers
             model = raycast.render_splat(mstate, pose, cam, lcfg,
                                          cfg.raycast,
                                          active_idx=active_idx,
                                          active_mask=active_mask,
-                                         with_color=False)
+                                         with_color=use_rgbd)
             zloc = jnp.where(jnp.isfinite(model.depth), model.depth,
                              jnp.inf)
             zglob = lax.pmin(zloc, AXIS)
@@ -136,6 +144,18 @@ def make_sharded_step(cfg: EngineConfig, mesh: Mesh,
             gpts = geom.screen_to_camera(u, v, gdepth, cam)
             gpts = jnp.where(jnp.isfinite(gdepth)[..., None], gpts, jnp.nan)
             gnrm = geom.normals_from_points(gpts)
+            if use_rgbd:
+                # the device attaining the global z-min contributes its
+                # color; psum of masked colors / psum of mask handles the
+                # (measure-zero) tie case by averaging
+                from ..ops.image import color_to_intensity
+                win = ((zloc == zglob)
+                       & jnp.isfinite(zglob)).astype(jnp.float32)
+                csum = lax.psum(model.color * win[..., None], AXIS)
+                wsum = lax.psum(win, AXIS)
+                gcol = csum / jnp.maximum(wsum, 1.0)[..., None]
+                gmodel_int = jnp.where(wsum > 0.0,
+                                       color_to_intensity(gcol), jnp.nan)
 
         # ---- tracking: row-shard residuals + psum'd 6x6 system ---------
         me = lax.axis_index(AXIS)
@@ -143,8 +163,13 @@ def make_sharded_step(cfg: EngineConfig, mesh: Mesh,
         r0 = me * rows
         in_p = lax.dynamic_slice_in_dim(frame.points, r0, rows, axis=0)
         in_n = lax.dynamic_slice_in_dim(frame.normals, r0, rows, axis=0)
+        in_int = None
+        if use_rgbd and frame.intensity is not None:
+            in_int = lax.dynamic_slice_in_dim(frame.intensity, r0, rows,
+                                              axis=0)
         tr = _track_distributed(in_p, in_n, gpts, gnrm, pose, cam,
-                                cfg.tracker)
+                                cfg.tracker, input_intensity=in_int,
+                                model_intensity=gmodel_int)
         is_first = frame_idx == 0
         new_pose = jnp.where(is_first | ~tr.valid, pose, tr.pose)
         do_int = tr.valid | is_first
@@ -200,17 +225,25 @@ def make_sharded_step(cfg: EngineConfig, mesh: Mesh,
 
 
 def _track_distributed(in_p, in_n, md_p, md_n, last_pose,
-                       cam: CameraConfig, cfg):
+                       cam: CameraConfig, cfg,
+                       input_intensity=None, model_intensity=None):
     """Coarse-to-fine ICP where every (A, b) is psum'd over the mesh.
 
-    Input maps are this device's ROW SHARD; the model maps are global.
-    Correspondence projection indexes the full model image, so only the
-    reduction needs communication. This is THE engine tracker
-    (:func:`voxelhashing_tpu.tracking.track`) with a psum reduction — not a
-    forked copy of the loop.
+    Input maps (points/normals/intensity) are this device's ROW SHARD; the
+    model maps are global. Correspondence projection indexes the full model
+    image, so only the reduction needs communication. This is THE engine
+    tracker (:func:`voxelhashing_tpu.tracking.track`) with a psum reduction
+    — not a forked copy of the loop. With intensities, the photometric
+    rows are folded into the system before the psum (each device
+    contributes its row shard's color residuals; see tracking.track).
     """
     psum_sys = lambda t: tuple(lax.psum(x, AXIS) for x in t)  # noqa: E731
     return tracking.track(in_p, in_n, md_p, md_n, last_pose, cam, cfg,
+                          input_intensity=input_intensity,
+                          model_intensity=model_intensity,
+                          weight_depth=cfg.weight_depth,
+                          weight_color=cfg.weight_color,
+                          color_sigma=cfg.color_sigma,
                           reduce_fn=psum_sys)
 
 

@@ -202,6 +202,38 @@ def _whitening(q, ok, reduce_sys):
     return mean, inv_std
 
 
+def _planarity(in_soa, wgt, thres: float, reduce_sys):
+    """Planar-degeneracy probe on the accepted INPUT normals.
+
+    A bare wall leaves 3 DoF unconstrained, but only the reference-faithful
+    march renderer exposes it through the 6x6 condition number (exactly
+    planar model normals -> true rank-3); the production splat renderer's
+    O(view-delta) surface roughness weakly fakes the missing constraints
+    (cond ~1.5e3 vs the 2e4 gate, BASELINE.md). The INPUT normals are
+    renderer-independent: on a wall the weighted scatter S = sum w n n^T
+    is rank-1. Degeneracy measure: with S normalised to unit trace, the
+    second symmetric invariant I2 = (1 - tr(S^2))/2 ~ lam2/lam1 for
+    lam2,lam3 << lam1 — closed form, no eigendecomposition. Matches the
+    reference's conditionThres intent (CUDACameraTrackingMultiRes.cpp:
+    228-237) for the case its own gate covers only in march mode.
+    Rotating the normals by delta leaves eigenvalues unchanged, so the raw
+    (untransformed) input normals suffice.
+    """
+    zero = jnp.float32(0.0)
+    use = wgt > 0.0
+    # where(), not mask-multiply: rejected rows carry NaN normals
+    nr = jnp.stack([jnp.where(use, in_soa[3], zero),
+                    jnp.where(use, in_soa[4], zero),
+                    jnp.where(use, in_soa[5], zero)], axis=0)   # [3,P]
+    s = lax.dot_general(nr * wgt[None, :], nr, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)     # [3,3]
+    (s,) = reduce_sys((s,))
+    tr = s[0, 0] + s[1, 1] + s[2, 2]
+    sh = s / jnp.maximum(tr, 1e-12)
+    i2 = 0.5 * (1.0 - jnp.sum(sh * sh.T))
+    return (i2 < thres) & (tr > 0.0)
+
+
 def _linearize(delta, in_soa, q, nq, wgt, ok, mean, inv_std):
     """Point-to-plane normal equations about the current delta against
     FIXED correspondences (the applyBL re-build inside the inner loop,
@@ -476,20 +508,38 @@ def track(input_points, input_normals, model_points, model_normals,
                 cfg.dist_thres[level], cfg.normal_thres[level],
                 cam.depth_min, cam.depth_max)
             mean, inv_std = _whitening(q, ok, reduce_sys)
+            # RGBD mode: photometric rows restore the in-plane rank a
+            # textured wall loses geometrically, so the planarity gate
+            # applies to the depth-only tracker only
+            if cfg.normal_aniso_thres > 0.0 and not use_rgbd:
+                planar = _planarity(in_soa, wgt, cfg.normal_aniso_thres,
+                                    reduce_sys)
+            else:
+                planar = jnp.array(False)
             # Inner iterations: re-linearise + solve against the fixed
             # correspondences (computeBestRigidAlignment, MultiRes.cpp:217).
             for _inner in range(cfg.max_inner_iter[level]):
-                a, b, sum_res, sum_w, count = reduce_sys(_linearize(
-                    delta, in_soa, q, nq, wgt, ok, mean, inv_std))
+                sys_d = _linearize(
+                    delta, in_soa, q, nq, wgt, ok, mean, inv_std)
                 if use_rgbd:
+                    # The photometric rows are built over the SAME input
+                    # shard as the depth rows, so they must join the
+                    # system BEFORE the mesh reduction — reducing only the
+                    # depth block would fold each device's local color
+                    # rows into a globally-reduced depth system.
                     gx, gy = intensity_gradients(mi_pyr[level])
-                    a_c, b_c, res_c, w_c, n_c = _build_system_color(
+                    sys_c = _build_system_color(
                         delta, in_p, ii_pyr[level], mi_pyr[level], gx, gy,
                         cam_l, color_sigma, mean=mean, inv_std=inv_std)
+                    (a, b, sum_res, sum_w, count,
+                     a_c, b_c, res_c, w_c, _n_c) = reduce_sys(
+                        tuple(sys_d) + tuple(sys_c))
                     a = weight_depth * a + weight_color * a_c
                     b = weight_depth * b + weight_color * b_c
                     sum_res = weight_depth * sum_res + weight_color * res_c
                     sum_w = weight_depth * sum_w + weight_color * w_c
+                else:
+                    a, b, sum_res, sum_w, count = reduce_sys(sys_d)
                 mean_res = sum_res / jnp.maximum(sum_w, 1e-12)
                 # Residual early-out (reference :300-335).
                 done |= jnp.abs(last_res - mean_res) \
@@ -507,7 +557,7 @@ def track(input_points, input_normals, model_points, model_normals,
                                       cfg.dist_trans_thres[level])
                 # Degenerate or implausible at any level => tracking lost
                 # (reference signals with the -inf matrix, :96, :228-246).
-                bad = degen | ~step_ok | (count < 64)
+                bad = degen | ~step_ok | (count < 64) | planar
                 lost |= bad & ~done
                 use = ~done & ~bad
                 delta = jnp.where(
