@@ -175,6 +175,61 @@ int32_t chunkstore_pop_in_sphere(void* h, float cx, float cy, float cz,
     return n_out;
 }
 
+// List occupied chunk COORDS [3*cap] (non-popping; for whole-map
+// composition: meshing / checkpoint under streaming). Returns count.
+int32_t chunkstore_chunk_coords(void* h, int32_t* out, int32_t cap) {
+    auto* s = static_cast<ChunkStore*>(h);
+    int32_t n = 0;
+    for (auto& kv : s->chunks) {
+        if (n >= cap) break;
+        out[3 * n] = kv.first.x;
+        out[3 * n + 1] = kv.first.y;
+        out[3 * n + 2] = kv.first.z;
+        ++n;
+    }
+    return n;
+}
+
+// Total number of blocks held by the given chunks (peek sizing).
+int64_t chunkstore_peek_count(void* h, const int32_t* coords,
+                              int32_t n_chunks) {
+    auto* s = static_cast<ChunkStore*>(h);
+    int64_t n = 0;
+    for (int32_t i = 0; i < n_chunks; ++i) {
+        auto it = s->chunks.find(ChunkKey{coords[3 * i], coords[3 * i + 1],
+                                          coords[3 * i + 2]});
+        if (it != s->chunks.end()) n += (int64_t)it->second.size();
+    }
+    return n;
+}
+
+// Copy (WITHOUT removing) every block of the given chunks — the read half
+// of the reference's stream-in-chunk-neighborhood loop
+// (CUDAMarchingCubesHashSDF.cpp:147-190) without mutating residency.
+int32_t chunkstore_peek_chunks(void* h, const int32_t* coords,
+                               int32_t n_chunks, int32_t* keys, float* sdf,
+                               float* weight, uint32_t* color, int32_t cap) {
+    auto* s = static_cast<ChunkStore*>(h);
+    int32_t n = 0;
+    for (int32_t i = 0; i < n_chunks; ++i) {
+        auto it = s->chunks.find(ChunkKey{coords[3 * i], coords[3 * i + 1],
+                                          coords[3 * i + 2]});
+        if (it == s->chunks.end()) continue;
+        for (const Block& b : it->second) {
+            if (n >= cap) return n;
+            keys[n] = b.key;
+            std::memcpy(sdf + (size_t)n * kVoxelsPerBlock, b.sdf,
+                        sizeof(b.sdf));
+            std::memcpy(weight + (size_t)n * kVoxelsPerBlock, b.weight,
+                        sizeof(b.weight));
+            std::memcpy(color + (size_t)n * kVoxelsPerBlock, b.color,
+                        sizeof(b.color));
+            ++n;
+        }
+    }
+    return n;
+}
+
 // List linear chunk ids currently held (for the device eviction bitmask).
 int32_t chunkstore_chunk_ids(void* h, int32_t grid_dim, int32_t* out,
                              int32_t cap) {

@@ -93,10 +93,13 @@ def frame_source(args, cfg):
         from voxelhashing_tpu.io.binarydump import BinaryDumpReader
         r = BinaryDumpReader(path)
         n = min(len(r), args.frames) if args.frames else len(r)
-        for i in range(n):
-            d, c, p = r.read_frame(i)
-            d, c = _resample(d, c, r.camera, cam)
-            yield d, c, p
+        try:
+            for i in range(n):
+                d, c, p = r.read_frame(i)
+                d, c = _resample(d, c, r.camera, cam)
+                yield d, c, p
+        finally:
+            r.close()     # release the mmap/file on early exit too
     elif kind == "sens":
         # comma-separated files chain into one sequence (loadNextSensFile,
         # DepthSensing.cpp:959-979)
@@ -405,12 +408,21 @@ def main():
         conv.save(args.convergence)
         print(f"convergence curves -> {args.convergence}")
     if args.save_map:
+        # with streaming on, the checkpoint composes device rows with the
+        # host chunk store (whole map, ChunkGrid.h:456-548 semantics)
         n = streaming_mod.save_map(args.save_map, state.map, cfg.map,
-                                   poses=np.stack(est))
-        print(f"saved {n} blocks -> {args.save_map}")
+                                   poses=np.stack(est), manager=mgr)
+        print(f"saved {n} blocks -> {args.save_map}"
+              + (" (incl. host-tiered)" if mgr else ""))
     if args.mesh:
         from voxelhashing_tpu import meshing
-        tris, cols = meshing.extract_mesh(state.map, cfg.map, cfg.mesh)
+        if mgr is not None:
+            # whole-scene extraction over device + host-tiered chunks
+            # (CUDAMarchingCubesHashSDF.cpp:147-190 chunk loop)
+            tris, cols = meshing.extract_mesh_streamed(state.map, cfg.map,
+                                                       cfg.mesh, mgr)
+        else:
+            tris, cols = meshing.extract_mesh(state.map, cfg.map, cfg.mesh)
         nf = meshing.save_ply(args.mesh, tris, cols)
         print(f"mesh: {len(tris)} tris -> {nf} welded faces -> {args.mesh}")
     if args.cloud:

@@ -112,6 +112,44 @@ class TestStreaming:
         assert n_dev == 16
         assert moved_total == 16
 
+    def test_py_store_file_blocks_linear(self):
+        """PyChunkStore.file_blocks groups per chunk (one concatenate per
+        chunk per call) — a 10k-block call must be ~linear, and equal to
+        per-block filing."""
+        import time
+        from voxelhashing_tpu import geometry as geom
+        rng = np.random.default_rng(1)
+        n = 10_000
+        blocks = rng.integers(-40, 40, size=(n, 3)).astype(np.int32)
+        keys = np.unique(np.asarray(
+            geom.pack_block_key(jnp.asarray(blocks), CFG.world_blocks)))
+        n = len(keys)
+        v = rng.normal(size=(n, 512)).astype(np.float32)
+        w = np.abs(v) + 1.0
+        c = rng.integers(0, 1 << 24, size=(n, 512)).astype(np.uint32)
+
+        bulk = streaming.PyChunkStore(4, CFG.world_blocks)
+        t0 = time.perf_counter()
+        bulk.file_blocks(keys, v, w, c)
+        dt_bulk = time.perf_counter() - t0
+        assert bulk.block_count() == n
+        # hard absolute bound: the old per-block np.vstack path took
+        # >10 s at this size; the grouped path is ~10 ms
+        assert dt_bulk < 2.0, dt_bulk
+
+        # equivalence with many small calls (the per-frame pattern)
+        split = streaming.PyChunkStore(4, CFG.world_blocks)
+        for s in range(0, n, 997):
+            sl = slice(s, s + 997)
+            split.file_blocks(keys[sl], v[sl], w[sl], c[sl])
+        assert split.chunk_count() == bulk.chunk_count()
+        for cc, ch in bulk.chunks.items():
+            ch2 = split.chunks[cc]
+            o1, o2 = np.argsort(ch.keys), np.argsort(ch2.keys)
+            np.testing.assert_array_equal(ch.keys[o1], ch2.keys[o2])
+            np.testing.assert_array_equal(ch.sdf[o1], ch2.sdf[o2])
+            np.testing.assert_array_equal(ch.color[o1], ch2.color[o2])
+
     def test_in_sphere_blocks_stay(self):
         state = fused_state()
         n0 = int(blockmap.stats(state, CFG)["n_allocated"])

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from .config import CameraConfig, EngineConfig
-from . import densegrid, geometry as geom, tracking
+from . import densegrid, tracking
 from .densegrid import DenseGrid, DenseGridConfig
 from .ops.image import preprocess
 from .tracking import TrackingResult

@@ -294,13 +294,177 @@ def extract_mesh(state: MapState, cfg: MapConfig, mesh_cfg: MeshConfig,
                 all_c.append(np.asarray(chunk.colors[:take]))
                 total += take
         if total >= mesh_cfg.max_triangles:
-            truncated = True
+            # budget filled: a real truncation only if a triangle was
+            # clipped (take < n, flagged above) or blocks remain unseen
+            if s0 + bpc < n_active:
+                truncated = True
             break
     if truncated:
         import warnings
         warnings.warn(
             f"extract_mesh: triangle budget s_marchingCubesMaxNumTriangles="
             f"{mesh_cfg.max_triangles} reached; output truncated")
+    if not all_v:
+        return (np.zeros((0, 3, 3), np.float32),
+                np.zeros((0, 3, 3), np.float32))
+    return np.concatenate(all_v), np.concatenate(all_c)
+
+
+def _chunks_of_keys_np(keys: np.ndarray, world_blocks: int,
+                       bpc: int) -> np.ndarray:
+    """Block keys [n] -> chunk coords [n,3] (host twin of
+    streaming.block_to_chunk)."""
+    half = world_blocks // 2
+    k = np.asarray(keys).astype(np.int64)
+    b = np.stack([k % world_blocks - half,
+                  (k // world_blocks) % world_blocks - half,
+                  k // (world_blocks * world_blocks) - half], axis=1)
+    return (b // bpc).astype(np.int32)
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(int(n) - 1, 1).bit_length()
+
+
+def extract_mesh_streamed(state: MapState, cfg: MapConfig,
+                          mesh_cfg: MeshConfig, manager
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+    """Whole-scene extraction composing device-resident blocks with the
+    host chunk store — the reference's chunked whole-scene loop
+    (CUDAMarchingCubesHashSDF.cpp:147-190: per occupied chunk, stream in
+    chunk±1 neighborhood, extract in a box, stream back out), re-expressed
+    without mutating residency: each chunk's blocks plus its 26-chunk
+    neighborhood are materialised into a SCRATCH map (so every boundary
+    cube sees its +1-voxel neighbors exactly as a fully-resident map
+    would), and only the chunk's own blocks emit triangles — each block is
+    extracted exactly once. Output equals :func:`extract_mesh` on the
+    equivalent unstreamed map, up to triangle order.
+    """
+    from . import streaming as streaming_mod
+
+    if hasattr(manager, "flush"):
+        manager.flush()
+    store = manager.store
+    bpc = max(1, round(manager.scfg.chunk_size / cfg.block_size_world))
+
+    # device-resident rows, grouped by chunk (the "already streamed in"
+    # part of each neighborhood)
+    dkeys, dsdf, dweight, dcolor = streaming_mod.resident_rows(state, cfg)
+    dev_cc = _chunks_of_keys_np(dkeys, cfg.world_blocks, bpc)
+    dev_rows: dict = {}
+    for i, cc in enumerate(map(tuple, dev_cc.tolist())):
+        dev_rows.setdefault(cc, []).append(i)
+
+    host_cc = {tuple(c) for c in store.chunk_coords().tolist()}
+    all_cc = sorted(host_cc | set(dev_rows.keys()))
+    if not all_cc:
+        return (np.zeros((0, 3, 3), np.float32),
+                np.zeros((0, 3, 3), np.float32))
+
+    offsets = np.array([(x, y, z) for x in (-1, 0, 1) for y in (-1, 0, 1)
+                        for z in (-1, 0, 1)], np.int32)
+
+    def neigh_rows(cc):
+        """Union rows (host + device) of chunk cc's 27-neighborhood."""
+        ncc = np.asarray(cc, np.int32)[None, :] + offsets
+        hk, hs, hw, hc = store.peek_chunks(ncc)
+        sel = sum((dev_rows.get(tuple(c), []) for c in ncc.tolist()), [])
+        if sel:
+            sel = np.asarray(sel, np.int64)
+            hk = np.concatenate([hk, dkeys[sel]])
+            hs = np.concatenate([hs, dsdf[sel]])
+            hw = np.concatenate([hw, dweight[sel]])
+            hc = np.concatenate([hc, dcolor[sel]])
+        return hk, hs, hw, hc
+
+    # one scratch-map shape for all chunks (single jit set): capacity =
+    # next pow2 of the largest neighborhood
+    max_neigh = max(
+        len(store.peek_chunks(np.asarray(cc, np.int32)[None, :]
+                              + offsets)[0])
+        + sum(len(dev_rows.get(tuple((np.asarray(cc) + o).tolist()), []))
+              for o in offsets)
+        for cc in all_cc)
+    cap_n = max(_next_pow2(max_neigh), 256)
+    import dataclasses as _dc
+    # offline scratch: full probe budget + roomy table — the engine's
+    # 3-round contended-insert drop-and-retry assumes the candidate set
+    # changes next frame, but here the same keys retry against the same
+    # residents, so a key whose short probe chain is fully occupied would
+    # starve deterministically
+    scfg_map = _dc.replace(cfg, num_blocks=cap_n,
+                           table_size=_next_pow2(8 * cap_n),
+                           max_active_blocks=cap_n,
+                           insert_probes=cfg.max_probes)
+    ins = jax.jit(lambda s, k, sd, w, c: streaming_mod.insert_blocks(
+        s, k, sd, w, c, scfg_map))
+    look = jax.jit(lambda s, k: blockmap.lookup(s, k, scfg_map))
+    ext = jax.jit(lambda s, bi, bm: extract_block_range(
+        s, bi, bm, scfg_map, mesh_cfg))
+    empty = blockmap.create(scfg_map)
+
+    all_v, all_c = [], []
+    total = 0
+    truncated = False
+    remaining = False
+    for cc in all_cc:
+        if total >= mesh_cfg.max_triangles:
+            remaining = True
+            break
+        keys, sdf, weight, color = neigh_rows(cc)
+        n = len(keys)
+        if n == 0:
+            continue
+        # staged-dedup allocation drops colliding keys per round
+        # (drop-and-retry semantics); re-insert the leftovers until all
+        # placed — bounded, every attempt strictly shrinks the list
+        scratch = empty
+        lk, ls, lw, lc = keys, sdf, weight, color
+        for _attempt in range(6):
+            m_left = len(lk)
+            pad = cap_n - m_left
+            scratch, _, placed = ins(
+                scratch,
+                jnp.asarray(np.pad(lk, (0, pad),
+                                   constant_values=INVALID_KEY)),
+                jnp.asarray(np.pad(ls, ((0, pad), (0, 0)))),
+                jnp.asarray(np.pad(lw, ((0, pad), (0, 0)))),
+                jnp.asarray(np.pad(lc, ((0, pad), (0, 0)))))
+            pl = np.asarray(placed)[:m_left]
+            if pl.all():
+                break
+            lk, ls, lw, lc = lk[~pl], ls[~pl], lw[~pl], lc[~pl]
+        else:
+            raise RuntimeError(
+                f"extract_mesh_streamed: scratch insert failed for "
+                f"{len(lk)} of {n} blocks (capacity bug)")
+        # only chunk cc's own blocks emit (each block extracted once)
+        own = np.all(_chunks_of_keys_np(keys, cfg.world_blocks, bpc)
+                     == np.asarray(cc, np.int32)[None, :], axis=1)
+        tgt = keys[own]
+        m = len(tgt)
+        if m == 0:
+            continue
+        tpad = cap_n - m
+        idx, found = look(scratch, jnp.asarray(np.pad(
+            tgt, (0, tpad), constant_values=INVALID_KEY)))
+        mask = jnp.asarray(np.arange(cap_n) < m) & found
+        chunk = ext(scratch, idx, mask)
+        nt = int(chunk.n_triangles)
+        if nt > 0:
+            take = min(nt, mesh_cfg.max_triangles - total)
+            if take < nt:
+                truncated = True
+            if take > 0:
+                all_v.append(np.asarray(chunk.vertices[:take]))
+                all_c.append(np.asarray(chunk.colors[:take]))
+                total += take
+    if truncated or (remaining and total >= mesh_cfg.max_triangles):
+        import warnings
+        warnings.warn(
+            f"extract_mesh_streamed: triangle budget "
+            f"s_marchingCubesMaxNumTriangles={mesh_cfg.max_triangles} "
+            f"reached; output truncated")
     if not all_v:
         return (np.zeros((0, 3, 3), np.float32),
                 np.zeros((0, 3, 3), np.float32))

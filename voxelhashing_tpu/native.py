@@ -72,6 +72,17 @@ def load() -> Optional[ctypes.CDLL]:
         lib.chunkstore_chunk_ids.argtypes = [
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
             ctypes.c_int32]
+        lib.chunkstore_chunk_coords.restype = ctypes.c_int32
+        lib.chunkstore_chunk_coords.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32]
+        lib.chunkstore_peek_count.restype = ctypes.c_int64
+        lib.chunkstore_peek_count.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32]
+        lib.chunkstore_peek_chunks.restype = ctypes.c_int32
+        lib.chunkstore_peek_chunks.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int32]
         lib.chunkstore_save.restype = ctypes.c_int32
         lib.chunkstore_save.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
         lib.chunkstore_load.restype = ctypes.c_int32
@@ -167,6 +178,36 @@ class NativeChunkStore:
         out = np.zeros((cap,), np.int32)
         n = self._lib.chunkstore_chunk_ids(self._h, grid_dim, _ptr(out), cap)
         return out[:n]
+
+    def chunk_coords(self, cap: int = 1 << 20) -> np.ndarray:
+        """Occupied chunk coords [m,3] (non-popping)."""
+        out = np.zeros((cap * 3,), np.int32)
+        n = self._lib.chunkstore_chunk_coords(self._h, _ptr(out), cap)
+        return out[:3 * n].reshape(n, 3)
+
+    def peek_count(self, coords: np.ndarray) -> int:
+        """Total blocks held by the given chunks [m,3] (no copy)."""
+        coords = np.ascontiguousarray(coords, np.int32).reshape(-1, 3)
+        return int(self._lib.chunkstore_peek_count(self._h, _ptr(coords),
+                                                   len(coords)))
+
+    def peek_chunks(self, coords: np.ndarray
+                    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                               np.ndarray]:
+        """Copy (without removing) every block of the given chunks [m,3]."""
+        coords = np.ascontiguousarray(coords, np.int32).reshape(-1, 3)
+        m = len(coords)
+        cap = int(self._lib.chunkstore_peek_count(self._h, _ptr(coords), m))
+        keys = np.zeros((cap,), np.int32)
+        sdf = np.zeros((cap, self.VOXELS), np.float32)
+        weight = np.zeros((cap, self.VOXELS), np.float32)
+        color = np.zeros((cap, self.VOXELS), np.uint32)
+        if cap:
+            n = self._lib.chunkstore_peek_chunks(
+                self._h, _ptr(coords), m, _ptr(keys), _ptr(sdf),
+                _ptr(weight), _ptr(color), cap)
+            assert n == cap, (n, cap)
+        return keys, sdf, weight, color
 
     def save(self, path: str):
         if self._lib.chunkstore_save(self._h, path.encode()) != 0:

@@ -119,12 +119,16 @@ class ShardedStreamingManager:
             self._rebuild_bitmask()
         return smap, total
 
-    def stream_in(self, smap, cam_pos) -> Tuple[object, int]:
+    def stream_in(self, smap, cam_pos, radius=None,
+                  max_chunks=None) -> Tuple[object, int]:
         """Pop ≤in_chunks_per_frame chunks inside the sphere, route every
         block to its owner device, mass-insert in one shard_map call."""
         keys, sdf, w, c = self.store.pop_in_sphere(
-            np.asarray(cam_pos, np.float32), self.scfg.radius,
-            self.scfg.chunk_size, self.scfg.in_chunks_per_frame,
+            np.asarray(cam_pos, np.float32),
+            self.scfg.radius if radius is None else radius,
+            self.scfg.chunk_size,
+            self.scfg.in_chunks_per_frame if max_chunks is None
+            else max_chunks,
             cap=self.out_cap)
         n = len(keys)
         if n == 0:
@@ -173,6 +177,24 @@ class ShardedStreamingManager:
         far = np.asarray([1e12, 1e12, 1e12], np.float32)
         for _ in range(self.scfg.out_parts):
             smap, _ = self.stream_out(smap, far)
+        return smap
+
+    def stream_in_all(self, smap):
+        """Bring every host-stored block back to its owner shard (the
+        inverse of stream_out_all; whole-map ops). The per-shard pools must
+        hold the partitioned map."""
+        origin = np.zeros((3,), np.float32)
+        stall = 0
+        while self.store.block_count() > 0:
+            before = self.store.block_count()
+            smap, _ = self.stream_in(smap, origin, radius=1e15,
+                                     max_chunks=1 << 30)
+            stall = stall + 1 if self.store.block_count() >= before else 0
+            if stall >= 3:
+                raise RuntimeError(
+                    f"stream_in_all: shard pools cannot hold the map "
+                    f"({self.store.block_count()} blocks still hosted)")
+        self._rebuild_bitmask()
         return smap
 
     def host_block_count(self) -> int:

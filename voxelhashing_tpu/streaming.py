@@ -170,28 +170,78 @@ class PyChunkStore:
         # device rows arrive in POOL_DTYPE (bf16 over the wire — half the
         # D2H traffic); the host store keeps plain f32 so numpy ops and
         # np.savez work everywhere downstream
+        keys = np.asarray(keys, np.int32)
+        if len(keys) == 0:
+            return
         sdf = np.asarray(sdf, np.float32)
         weight = np.asarray(weight, np.float32)
-        for i, key in enumerate(np.asarray(keys).tolist()):
-            cc = self._chunk_of_key(key)
+        color = np.asarray(color, np.uint32)
+        # group incoming blocks by chunk coordinate (vectorised), then ONE
+        # concatenate per touched chunk — per-block np.append/vstack is
+        # O(n^2) in the call size
+        wb = self.world_blocks
+        half = wb // 2
+        k = keys.astype(np.int64)
+        b = np.stack([k % wb - half, (k // wb) % wb - half,
+                      k // (wb * wb) - half], axis=1)
+        cc_all = b // self.bpc                            # [n,3]
+        order = np.lexsort((cc_all[:, 2], cc_all[:, 1], cc_all[:, 0]))
+        cs = cc_all[order]
+        change = np.any(cs[1:] != cs[:-1], axis=1) if len(cs) > 1 \
+            else np.zeros((0,), bool)
+        starts = np.concatenate([[0], np.nonzero(change)[0] + 1,
+                                 [len(keys)]])
+        for si, ei in zip(starts[:-1], starts[1:]):
+            cc = tuple(int(v) for v in cs[si])
+            sel = order[si:ei]
             ch = self.chunks.get(cc)
             if ch is None:
-                z = np.zeros((0, VOXELS_PER_BLOCK), np.float32)
-                ch = HostChunk(keys=np.zeros((0,), np.int32), sdf=z.copy(),
-                               weight=z.copy(),
-                               color=np.zeros((0, VOXELS_PER_BLOCK),
-                                              np.uint32))
-                self.chunks[cc] = ch
-            ch.keys = np.append(ch.keys, np.int32(key))
-            ch.sdf = np.vstack([ch.sdf, sdf[i:i + 1]])
-            ch.weight = np.vstack([ch.weight, weight[i:i + 1]])
-            ch.color = np.vstack([ch.color, color[i:i + 1]])
+                self.chunks[cc] = HostChunk(
+                    keys=keys[sel].copy(), sdf=sdf[sel].copy(),
+                    weight=weight[sel].copy(), color=color[sel].copy())
+            else:
+                ch.keys = np.concatenate([ch.keys, keys[sel]])
+                ch.sdf = np.concatenate([ch.sdf, sdf[sel]])
+                ch.weight = np.concatenate([ch.weight, weight[sel]])
+                ch.color = np.concatenate([ch.color, color[sel]])
 
     def block_count(self) -> int:
         return sum(len(c.keys) for c in self.chunks.values())
 
     def chunk_count(self) -> int:
         return len(self.chunks)
+
+    def chunk_coords(self, cap: int = 1 << 20) -> np.ndarray:
+        """Occupied chunk coords [m,3] (non-popping)."""
+        if not self.chunks:
+            return np.zeros((0, 3), np.int32)
+        return np.asarray(list(self.chunks.keys()), np.int32)[:cap]
+
+    def peek_count(self, coords) -> int:
+        """Total blocks held by the given chunks [m,3] (no copy)."""
+        n = 0
+        for cc in np.asarray(coords, np.int32).reshape(-1, 3):
+            ch = self.chunks.get((int(cc[0]), int(cc[1]), int(cc[2])))
+            if ch is not None:
+                n += len(ch.keys)
+        return n
+
+    def peek_chunks(self, coords) -> Tuple[np.ndarray, np.ndarray,
+                                           np.ndarray, np.ndarray]:
+        """Copy (without removing) every block of the given chunks [m,3]."""
+        ks, ss, ws, cs = [], [], [], []
+        for cc in np.asarray(coords, np.int32).reshape(-1, 3):
+            ch = self.chunks.get((int(cc[0]), int(cc[1]), int(cc[2])))
+            if ch is None:
+                continue
+            ks.append(ch.keys); ss.append(ch.sdf)
+            ws.append(ch.weight); cs.append(ch.color)
+        if not ks:
+            z = np.zeros((0, VOXELS_PER_BLOCK), np.float32)
+            return (np.zeros((0,), np.int32), z, z.copy(),
+                    np.zeros((0, VOXELS_PER_BLOCK), np.uint32))
+        return (np.concatenate(ks), np.vstack(ss), np.vstack(ws),
+                np.vstack(cs))
 
     def pop_in_sphere(self, cam_pos, radius, chunk_size_world, max_chunks,
                       cap):
@@ -343,16 +393,13 @@ class StreamingManager:
         state = self._del(state, out_idx, mask)
         return state, n
 
-    def stream_in(self, state: MapState, cam_pos) -> Tuple[MapState, int]:
-        """Upload up to in_chunks_per_frame whole chunks inside the sphere
-        (conservative whole-chunk test, ChunkGrid.h:317-346)."""
-        keys, sdf, w, c = self.store.pop_in_sphere(
-            np.asarray(cam_pos, np.float32), self.scfg.radius,
-            self.scfg.chunk_size, self.scfg.in_chunks_per_frame,
-            cap=self.out_cap)
+    def _insert_batch(self, state: MapState, keys, sdf, w, c
+                      ) -> Tuple[MapState, int]:
+        """Mass-insert popped payloads; re-file what allocation failed to
+        place (probe exhaustion / pool full): the pop already removed the
+        chunk from the host store, so dropping these would lose map content
+        permanently. Returns (state, n_placed)."""
         n = len(keys)
-        if n == 0:
-            return state, 0
         pad = self.out_cap - n
         state, _, placed = self._ins(
             state,
@@ -361,16 +408,25 @@ class StreamingManager:
             jnp.asarray(np.pad(sdf, ((0, pad), (0, 0)))),
             jnp.asarray(np.pad(w, ((0, pad), (0, 0)))),
             jnp.asarray(np.pad(c, ((0, pad), (0, 0)))))
-        # Re-file any payload allocation failed to place (probe exhaustion /
-        # pool full): pop_in_sphere already removed the chunk from the host
-        # store, so dropping these would lose map content permanently.
         unplaced = ~np.asarray(placed)[:n]
         n_lost = int(unplaced.sum())
         if n_lost:
             self.store.file_blocks(keys[unplaced], sdf[unplaced],
                                    w[unplaced], c[unplaced])
-        self._rebuild_bitmask()
         return state, n - n_lost
+
+    def stream_in(self, state: MapState, cam_pos) -> Tuple[MapState, int]:
+        """Upload up to in_chunks_per_frame whole chunks inside the sphere
+        (conservative whole-chunk test, ChunkGrid.h:317-346)."""
+        keys, sdf, w, c = self.store.pop_in_sphere(
+            np.asarray(cam_pos, np.float32), self.scfg.radius,
+            self.scfg.chunk_size, self.scfg.in_chunks_per_frame,
+            cap=self.out_cap)
+        if len(keys) == 0:
+            return state, 0
+        state, n_in = self._insert_batch(state, keys, sdf, w, c)
+        self._rebuild_bitmask()
+        return state, n_in
 
     def step(self, state: MapState, cam_pos) -> MapState:
         """One streaming epoch step (out then in, DepthSensing.cpp:881-900)."""
@@ -384,6 +440,29 @@ class StreamingManager:
         far = jnp.asarray([1e12, 1e12, 1e12], jnp.float32)
         for _ in range(self.scfg.out_parts):
             state, _ = self.stream_out(state, far)
+        return state
+
+    def stream_in_all(self, state: MapState) -> MapState:
+        """Bring EVERY host-stored block back on device (the inverse of
+        stream_out_all — the stream-back-in half of the reference's
+        checkpoint sequence, ChunkGrid.h:456-548). The pool must hold the
+        whole map; at true out-of-core scale use the composed whole-map
+        operations (meshing.extract_mesh_streamed / save_map(manager=...))
+        which never materialise the union."""
+        stall = 0
+        while self.store.block_count() > 0:
+            before = self.store.block_count()
+            keys, sdf, w, c = self.store.pop_in_sphere(
+                np.zeros((3,), np.float32), 1e15, self.scfg.chunk_size,
+                1 << 30, cap=self.out_cap)
+            if len(keys):
+                state, _ = self._insert_batch(state, keys, sdf, w, c)
+            stall = stall + 1 if self.store.block_count() >= before else 0
+            if stall >= 3:
+                raise RuntimeError(
+                    f"stream_in_all: device pool cannot hold the whole map "
+                    f"({self.store.block_count()} blocks still hosted)")
+        self._rebuild_bitmask()
         return state
 
     def host_block_count(self) -> int:
@@ -631,6 +710,10 @@ class AsyncStreamingManager(StreamingManager):
         self.flush()
         return state
 
+    def stream_in_all(self, state: MapState) -> MapState:
+        self.flush()
+        return super().stream_in_all(state)
+
     def host_block_count(self) -> int:
         with self._store_lock:
             return self.store.block_count()
@@ -643,37 +726,77 @@ class AsyncStreamingManager(StreamingManager):
 CHECKPOINT_VERSION = 1
 
 
+def resident_rows(state: MapState, cfg: MapConfig
+                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Host copies of every device-resident block's (keys, sdf f32,
+    weight f32, color u32) rows."""
+    active_idx, n = blockmap.compactify_all(state, cfg)
+    n = int(n)
+    idx = active_idx[:max(n, 1)]
+    keys = np.asarray(state.block_key[idx])[:n]
+    sdf = np.asarray(state.sdf[idx], np.float32)[:n]
+    weight = np.asarray(state.weight[idx], np.float32)[:n]
+    color = np.asarray(state.color[idx])[:n]
+    return keys, sdf, weight, color
+
+
 def save_map(path: str, state: MapState, cfg: MapConfig,
-             poses: Optional[np.ndarray] = None) -> int:
+             poses: Optional[np.ndarray] = None, manager=None) -> int:
     """Serialize every allocated block (+ optional trajectory) to ``path``.
 
     Versioned with geometry parameters, like the reference's hashgrid file
     ('N' key -> saveToFile, validated on load :526-536). Returns the block
     count written.
+
+    With ``manager`` (a StreamingManager), the checkpoint COMPOSES the
+    device-resident rows with the host chunk store, so a streamed run's
+    checkpoint holds the whole map — the reference achieves the same by
+    streaming everything out and serializing the host grid
+    (CUDASceneRepChunkGrid.h:456-548); here residency is untouched.
     """
-    active_idx, n = blockmap.compactify_all(state, cfg)
-    n = int(n)
-    idx = active_idx[:max(n, 1)]
-    keys = np.asarray(state.block_key[idx])[:n]
+    keys, sdf, weight, color = resident_rows(state, cfg)
+    if manager is not None:
+        if hasattr(manager, "flush"):
+            manager.flush()
+        hk, hs, hw, hc = manager.store.peek_chunks(
+            manager.store.chunk_coords())
+        if len(hk):
+            # the eviction bitmask guarantees a block is resident XOR
+            # hosted; a violated invariant must fail loudly, not produce
+            # a checkpoint with duplicate keys
+            dup = np.intersect1d(keys, hk)
+            if len(dup):
+                raise RuntimeError(
+                    f"save_map: {len(dup)} blocks both device-resident and "
+                    f"host-stored (streaming invariant violated)")
+            keys = np.concatenate([keys, hk])
+            sdf = np.concatenate([sdf, hs])
+            weight = np.concatenate([weight, hw])
+            color = np.concatenate([color, hc])
     # checkpoints stay f32 on disk (np.savez has no bf16; also keeps the
     # format stable across POOL_DTYPE choices)
-    sdf = np.asarray(state.sdf[idx], np.float32)[:n]
-    weight = np.asarray(state.weight[idx], np.float32)[:n]
-    color = np.asarray(state.color[idx])[:n]
     np.savez_compressed(
         path, version=CHECKPOINT_VERSION,
         voxel_size=cfg.voxel_size, truncation=cfg.truncation,
         world_blocks=cfg.world_blocks,
         keys=keys, sdf=sdf, weight=weight, color=color,
         poses=poses if poses is not None else np.zeros((0, 4, 4)))
-    return n
+    return len(keys)
 
 
-def load_map(path: str, cfg: MapConfig
+def load_map(path: str, cfg: MapConfig, manager=None
              ) -> Tuple[MapState, np.ndarray]:
     """Rebuild a map from a checkpoint; validates version + geometry
     (loadFromFile 'B', ChunkGrid.h:499-548 — unlike the reference, the
-    loaded map remains fully trackable/integrable)."""
+    loaded map remains fully trackable/integrable).
+
+    With ``manager``, the checkpoint loads INTO THE HOST CHUNK STORE (the
+    reference's load-then-stream-in sequence): the device map starts empty,
+    the eviction bitmask covers every loaded chunk, and the per-frame
+    stream-in sphere (or :meth:`StreamingManager.stream_in_all`) brings
+    blocks on device — so checkpoints larger than the device pool load
+    fine.
+    """
     z = np.load(path)
     if int(z["version"]) != CHECKPOINT_VERSION:
         raise ValueError(f"checkpoint version {z['version']} unsupported")
@@ -683,6 +806,16 @@ def load_map(path: str, cfg: MapConfig
     state = blockmap.create(cfg)
     keys = z["keys"]
     n = len(keys)
+    if manager is not None:
+        if hasattr(manager, "flush"):
+            manager.flush()
+        if manager.store.block_count():
+            raise ValueError("load_map(manager=...): host store not empty")
+        if n:
+            manager.store.file_blocks(keys, z["sdf"], z["weight"],
+                                      z["color"])
+        manager._rebuild_bitmask()
+        return state, z["poses"]
     if n == 0:
         return state, z["poses"]
     if n > cfg.num_blocks:
