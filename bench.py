@@ -95,15 +95,25 @@ def main(streaming: bool = False):
     dt = time.perf_counter() - t0
     fps = (n_frames - 2) / dt
 
+    # Per-round kernel regression gate (verify_tpu.py check 0+1 on the
+    # bench's own final state — seconds of chip time): a Pallas layout
+    # regression fails the bench instead of hiding until the next manual
+    # verify run.
+    from voxelhashing_tpu.verify import quick_kernel_check
+    ok, vmsg = quick_kernel_check(state.map, *frames[-1], state.pose,
+                                  cam, cfg.map)
+
     print(json.dumps({
         "metric": ("fused_frames_per_sec_streaming" if streaming
                    else "fused_frames_per_sec"),
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 3),
+        "verify": "PASS" if ok else f"FAIL {vmsg}",
     }))
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":
     import sys
-    main(streaming="--streaming" in sys.argv)
+    sys.exit(main(streaming="--streaming" in sys.argv))
