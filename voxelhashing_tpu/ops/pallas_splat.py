@@ -133,8 +133,13 @@ def _make_kernel(cam: CameraConfig, cfg: MapConfig, hpad: int, wpad: int):
             r = (dv[k:k + 1, :] == riota).astype(jnp.bfloat16)    # [32,512]
             ct = (du[k:k + 1, :] == ciota_c).astype(jnp.bfloat16)  # [256,512]
             cnt = dots_nt(r, ct)                                  # [32,256]
-            s_hi = dots_nt(r, ct * zhi[k:k + 1, :])
-            s_lo = dots_nt(r, ct * zlo[k:k + 1, :])
+            # z limbs ride the ROW one-hot (s[i,j] = sum_v r[i,v] z_v
+            # ct[j,v] associates either way; r entries are exact 0/1 so
+            # results are bit-identical) — [32,512] elementwise instead of
+            # [256,512], the phase-B VPU cost driver (one-hot build +
+            # z-multiplies dominate; the matmuls themselves are MXU-idle)
+            s_hi = dots_nt(r * zhi[k:k + 1, :], ct)
+            s_lo = dots_nt(r * zlo[k:k + 1, :], ct)
             patch = jnp.where(cnt > 0.5,
                               (s_hi + s_lo) / jnp.maximum(cnt, 1.0),
                               jnp.inf)

@@ -306,12 +306,14 @@ def render_splat(state: MapState, pose, cam: CameraConfig, cfg: MapConfig,
                              cfg, with_color)
         return zb, cb, jnp.int32(0)
 
-    def splat_culled(_):
+    def _culled(width):
         # packed rows: voxel rows gathered only for the culled selection;
         # the kernel skips grid steps past n_surf
-        sel_a = active_idx[sel]
-        return _zfun(state.sdf[sel_a], state.weight[sel_a], sel_a,
-                     sel_mask, n_surf)
+        def fn(_):
+            sel_a = active_idx[sel[:width]]
+            return _zfun(state.sdf[sel_a], state.weight[sel_a], sel_a,
+                         sel_mask[:width], n_surf)
+        return fn
 
     def splat_full(_):
         # overflow fallback: rows NOT packed (has_surf scattered) -> no
@@ -319,8 +321,16 @@ def render_splat(state: MapState, pose, cam: CameraConfig, cfg: MapConfig,
         return _zfun(state.sdf[active_idx], state.weight[active_idx],
                      active_idx, has_surf, None)
 
-    zbuf, colbuf, n_clipped = jax.lax.cond(overflow > 0, splat_full,
-                                           splat_culled, operand=None)
+    # Two-tier kernel width (the alloc-insert two-tier pattern): steady
+    # state at the bench operating point has n_surf ~8K <= m2/2, so the
+    # row gather + grid run half as wide; surface-dense views take the
+    # full m2 lane, true overflow falls back to the whole active list.
+    m4 = max(m2 // 2, 8)
+    zbuf, colbuf, n_clipped = jax.lax.cond(
+        overflow > 0, splat_full,
+        lambda _: jax.lax.cond(n_surf <= m4, _culled(m4), _culled(m2),
+                               operand=None),
+        operand=None)
     overflow = overflow + n_clipped
     depth = jnp.where(jnp.isfinite(zbuf), zbuf, jnp.nan).reshape(h, w)
     if with_color:
