@@ -225,6 +225,47 @@ class TestCompactify:
         ks = np.asarray(state.block_key)[np.asarray(idx[:int(n)])]
         assert set(ks.tolist()) == set(np.asarray(keys).tolist())
 
+    def test_compactify_two_tier_equivalence(self):
+        """The half-pool watermark tier must return the identical active
+        list as a full-pool scan (invariant 8: allocated rows <
+        dense_upto), in both tiers."""
+        cam = CameraConfig()
+        cfg = dataclasses.replace(SMALL, num_blocks=256, table_size=1024,
+                                  max_active_blocks=256, voxel_size=0.05)
+        rng = np.random.default_rng(3)
+        blocks = np.unique(
+            rng.integers(-6, 6, size=(220, 3)).astype(np.int32), axis=0)
+        keys = geom.pack_block_key(jnp.asarray(blocks), cfg.world_blocks)
+        view = jnp.eye(4)
+
+        def full_scan(s):
+            # reference result: force the full-width branch by lying
+            # about the watermark
+            return blockmap.compactify(
+                s._replace(dense_upto=jnp.int32(cfg.num_blocks)),
+                view, cam, cfg)
+
+        # tier 1: few blocks, watermark below half
+        state = blockmap.create(cfg)
+        state, _ = blockmap.allocate(state, keys[:90], cfg, rounds=4)
+        assert int(state.dense_upto) <= cfg.num_blocks // 2
+        ai_t, n_t, ov_t = blockmap.compactify(state, view, cam, cfg)
+        ai_f, n_f, ov_f = full_scan(state)
+        assert int(n_t) == int(n_f) and int(ov_t) == int(ov_f)
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(ai_t[:int(n_t)])),
+            np.sort(np.asarray(ai_f[:int(n_f)])))
+
+        # tier 2: fill past half, watermark above half -> full branch
+        state, _ = blockmap.allocate(state, keys, cfg, rounds=6)
+        if int(state.dense_upto) > cfg.num_blocks // 2:
+            ai_t, n_t, _ = blockmap.compactify(state, view, cam, cfg)
+            ai_f, n_f, _ = full_scan(state)
+            assert int(n_t) == int(n_f)
+            np.testing.assert_array_equal(
+                np.sort(np.asarray(ai_t[:int(n_t)])),
+                np.sort(np.asarray(ai_f[:int(n_f)])))
+
 
 class TestGatherVoxels:
     def test_gather_unallocated_is_zero_weight(self):

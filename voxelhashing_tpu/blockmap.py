@@ -446,22 +446,40 @@ def compactify(state: MapState, view_matrix, cam, cfg: MapConfig):
 
     Replaces ``compactifyHashAllInOneKernel`` (CUDASceneRepHashSDF.cu:317-359)
     with mask + cumsum + scatter at a static cap ``cfg.max_active_blocks``.
+    Two-tier over the row watermark: every allocated row is < dense_upto
+    (invariant 8), so while the watermark fits the lower half of the pool
+    the frustum test + scan run over a half-width static slice
+    (lax.cond dispatch, the alloc-insert/splat two-tier pattern).
 
     Returns (active_idx int32[M] (padded with 0), n_active, overflow_count).
     """
-    allocated = state.block_key != INVALID_KEY
-    blocks = geom.unpack_block_key(state.block_key, cfg.world_blocks)
-    in_view = geom.block_in_frustum(blocks, view_matrix, cam, cfg.voxel_size)
-    active = allocated & in_view
-    rank = jnp.cumsum(active.astype(jnp.int32)) - 1
     m = cfg.max_active_blocks
-    n_active_total = jnp.sum(active.astype(jnp.int32))
-    keep = active & (rank < m)
-    active_idx = jnp.zeros((m,), jnp.int32).at[
-        jnp.where(keep, rank, m)].set(
-        jnp.arange(cfg.num_blocks, dtype=jnp.int32), mode="drop")
-    n_active = jnp.minimum(n_active_total, m)
-    return active_idx, n_active, n_active_total - n_active
+    n = cfg.num_blocks
+
+    def scan(keys):
+        n_rows = keys.shape[0]
+        allocated = keys != INVALID_KEY
+        blocks = geom.unpack_block_key(keys, cfg.world_blocks)
+        in_view = geom.block_in_frustum(blocks, view_matrix, cam,
+                                        cfg.voxel_size)
+        active = allocated & in_view
+        rank = jnp.cumsum(active.astype(jnp.int32)) - 1
+        n_active_total = jnp.sum(active.astype(jnp.int32))
+        keep = active & (rank < m)
+        active_idx = jnp.zeros((m,), jnp.int32).at[
+            jnp.where(keep, rank, m)].set(
+            jnp.arange(n_rows, dtype=jnp.int32), mode="drop")
+        n_active = jnp.minimum(n_active_total, m)
+        return active_idx, n_active, n_active_total - n_active
+
+    half = n // 2
+    if half < 64:          # tiny test pools: no tier
+        return scan(state.block_key)
+    return jax.lax.cond(
+        state.dense_upto <= half,
+        lambda s: scan(s.block_key[:half]),
+        lambda s: scan(s.block_key),
+        state)
 
 
 def compactify_all(state: MapState, cfg: MapConfig):
