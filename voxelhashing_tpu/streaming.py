@@ -80,25 +80,39 @@ def select_stream_out(state: MapState, cam_pos, part, cfg: MapConfig,
 
     The analog of integrateFromGlobalHashPass1Kernel's select
     (CUDASceneRepChunkGrid.cu:27-74): d >= radius around the camera.
+    Two-tier over the row watermark (every allocated row < dense_upto,
+    blockmap invariant 8): steady state scans a half-width static slice.
     """
     n = cfg.num_blocks
-    idx = jnp.arange(n, dtype=jnp.int32)
-    allocated = state.block_key != INVALID_KEY
-    in_part = (idx % scfg.out_parts) == part
-    blocks = geom.unpack_block_key(state.block_key, cfg.world_blocks)
-    centre = geom.block_to_world(blocks, cfg.voxel_size) \
-        + 0.5 * cfg.block_size_world
-    d = jnp.linalg.norm(centre - cam_pos[None, :], axis=-1)
-    pick = allocated & in_part & (d >= scfg.radius)
 
-    rank = jnp.cumsum(pick.astype(jnp.int32)) - 1
-    keep = pick & (rank < cap)
-    out_idx = jnp.zeros((cap,), jnp.int32).at[
-        jnp.where(keep, rank, cap)].set(idx, mode="drop")
-    count = jnp.minimum(jnp.sum(pick.astype(jnp.int32)), cap)
-    mask = jnp.arange(cap) < count
-    keys = jnp.where(mask, state.block_key[out_idx], INVALID_KEY)
-    return out_idx, keys, count
+    def scan(keys_rows):
+        n_rows = keys_rows.shape[0]
+        idx = jnp.arange(n_rows, dtype=jnp.int32)
+        allocated = keys_rows != INVALID_KEY
+        in_part = (idx % scfg.out_parts) == part
+        blocks = geom.unpack_block_key(keys_rows, cfg.world_blocks)
+        centre = geom.block_to_world(blocks, cfg.voxel_size) \
+            + 0.5 * cfg.block_size_world
+        d = jnp.linalg.norm(centre - cam_pos[None, :], axis=-1)
+        pick = allocated & in_part & (d >= scfg.radius)
+
+        rank = jnp.cumsum(pick.astype(jnp.int32)) - 1
+        keep = pick & (rank < cap)
+        out_idx = jnp.zeros((cap,), jnp.int32).at[
+            jnp.where(keep, rank, cap)].set(idx, mode="drop")
+        count = jnp.minimum(jnp.sum(pick.astype(jnp.int32)), cap)
+        mask = jnp.arange(cap) < count
+        keys = jnp.where(mask, keys_rows[out_idx], INVALID_KEY)
+        return out_idx, keys, count
+
+    half = n // 2
+    if half < 64:          # tiny test pools: no tier
+        return scan(state.block_key)
+    return jax.lax.cond(
+        state.dense_upto <= half,
+        lambda s: scan(s.block_key[:half]),
+        lambda s: scan(s.block_key),
+        state)
 
 
 def extract_blocks(state: MapState, pool_idx):
