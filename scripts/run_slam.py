@@ -352,6 +352,14 @@ def main():
               f"valid={bool(diag.tracking_valid)}"
               + (f" missed={int(diag.alloc_missed)}" if cfg.offline else "")
               + (f" hostblocks={mgr.host_block_count()}" if mgr else ""))
+        n_free_pool = cfg.map.num_blocks - int(diag.n_allocated_blocks)
+        if n_free_pool < min(5000, cfg.map.num_blocks // 8):
+            # heap-exhaustion watermark warning (DepthSensing.cpp:731-735:
+            # the reference warns below 5,000 free blocks)
+            print(f"  WARNING: block pool low: {n_free_pool} free "
+                  f"of {cfg.map.num_blocks}"
+                  + (" (streaming will keep evicting)" if mgr else
+                     " — consider --streaming or a larger pool"))
         if args.timings:
             print(icp_log.report_last())
     dt = time.time() - t0
