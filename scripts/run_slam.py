@@ -352,6 +352,11 @@ def main():
               f"valid={bool(diag.tracking_valid)}"
               + (f" missed={int(diag.alloc_missed)}" if cfg.offline else "")
               + (f" hostblocks={mgr.host_block_count()}" if mgr else ""))
+        if not bool(diag.tracking_valid) and i > 0:
+            # why was the frame declared lost (ICPErrorLog-style)
+            print(f"  tracking LOST: cond={float(diag.icp_condition):.2e} "
+                  f"planarity_I2={float(diag.icp_planarity):.2e} "
+                  f"corr={int(diag.icp_corr_count)}")
         n_free_pool = cfg.map.num_blocks - int(diag.n_allocated_blocks)
         if n_free_pool < min(5000, cfg.map.num_blocks // 8):
             # heap-exhaustion watermark warning (DepthSensing.cpp:731-735:

@@ -181,6 +181,11 @@ class TestDegeneracyAndRecovery:
         assert all(lost[4:8]), lost
         # ...the clutter frames never do...
         assert not any(lost[:4]) and not any(lost[8:]), lost
+        # the planarity observable separates the regimes in BOTH modes
+        # (the probe is renderer-independent; frame 0 has no tracking)
+        i2 = [float(d.icp_planarity) for d in diags]
+        assert all(v < 4e-3 for v in i2[4:8]), i2
+        assert all(v > 4e-3 for v in i2[1:4] + i2[8:]), i2
         # ...and lost frames were NOT integrated
         assert int(state.n_integrated) == len(poses) - sum(lost)
         # map is healthy throughout

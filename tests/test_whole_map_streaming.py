@@ -139,7 +139,7 @@ class TestTrajectoryWholeMap:
     equals the identical run with streaming off (the run_slam
     --streaming --mesh/--save-map path)."""
 
-    def _run(self, with_streaming):
+    def _run(self, with_streaming, async_mgr=False):
         cfg = EngineConfig(
             camera=CAM,
             map=MCFG,
@@ -156,8 +156,11 @@ class TestTrajectoryWholeMap:
         )
         step = engine.make_step(cfg, with_hint=True, donate=False,
                                 with_stream_mask=with_streaming)
-        mgr = streaming.StreamingManager(MCFG, SCFG, out_cap=8192) \
-            if with_streaming else None
+        mgr = None
+        if with_streaming:
+            cls = streaming.AsyncStreamingManager if async_mgr \
+                else streaming.StreamingManager
+            mgr = cls(MCFG, SCFG, out_cap=8192)
         state = engine.create(cfg, initial_pose=np.eye(4))
         nan_d = np.full((CAM.height, CAM.width), np.nan, np.float32)
         zero_c = np.zeros((CAM.height, CAM.width, 3), np.float32)
@@ -180,9 +183,12 @@ class TestTrajectoryWholeMap:
                 state = state._replace(map=new_map)
         return state, mgr
 
-    def test_streamed_matches_unstreamed(self, tmp_path):
+    @pytest.mark.parametrize("async_mgr", [False, True])
+    def test_streamed_matches_unstreamed(self, tmp_path, async_mgr):
         state_a, _ = self._run(with_streaming=False)
-        state_b, mgr = self._run(with_streaming=True)
+        state_b, mgr = self._run(with_streaming=True, async_mgr=async_mgr)
+        if hasattr(mgr, "flush"):
+            mgr.flush()      # join the streaming thread before composing
         # the walk-away phase must actually have evicted the map
         assert mgr.host_block_count() > 0
 

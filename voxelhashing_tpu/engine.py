@@ -56,6 +56,10 @@ class FrameDiagnostics(NamedTuple):
     icp_level_stats: jax.Array      # f32[levels,4] (res, cond, corr, sum_w)
     icp_iter_residuals: jax.Array   # f32[levels,max_iters] NaN-padded
     tracking_valid: jax.Array       # bool[]
+    # planarity probe I2 of the input normals' scatter (tracking._planarity
+    # observability twin; low ~<=1e-3 = bare-wall degenerate view; 0.0 in
+    # GT/RGBD/disabled modes)
+    icp_planarity: jax.Array = 0.0
 
 
 def create(cfg: EngineConfig, initial_pose=None) -> EngineState:
@@ -275,7 +279,7 @@ def step(state: EngineState, depth_raw, color_raw, cfg: EngineConfig,
                                 last_pose, cam, cfg.tracker)
         # Frame 0 has no model: keep the initial pose, mark valid.
         zstats, zcurve = tracking.empty_stats(cfg.tracker)
-        tr = TrackingResult(
+        tr = tr._replace(
             pose=jnp.where(is_first, state.pose, tr.pose),
             valid=tr.valid | is_first,
             residual=jnp.where(is_first, 0.0, tr.residual),
@@ -318,6 +322,7 @@ def step(state: EngineState, depth_raw, color_raw, cfg: EngineConfig,
         icp_level_stats=tr.level_stats,
         icp_iter_residuals=tr.iter_residuals,
         tracking_valid=tr.valid,
+        icp_planarity=jnp.asarray(tr.planarity, jnp.float32),
     )
     new_state = EngineState(
         map=new_map,

@@ -52,6 +52,11 @@ class TrackingResult(NamedTuple):
     # max_iters] mean residual per (level, outer*inner iteration),
     # NaN-padded past each level's budget; row 0 = finest.
     iter_residuals: jax.Array
+    # f32[] planarity probe I2 ~ lam2/lam1 of the valid finest-level
+    # input normals' scatter (report-only twin of the _planarity gate;
+    # 0.0 when the gate is disabled / GT modes) — bare wall <= ~1e-3,
+    # trackable scenes >= ~2e-2 (scripts/measure_planarity.py)
+    planarity: jax.Array = 0.0
 
 
 def stats_shapes(cfg: TrackerConfig):
@@ -231,7 +236,7 @@ def _planarity(in_soa, wgt, thres: float, reduce_sys):
     tr = s[0, 0] + s[1, 1] + s[2, 2]
     sh = s / jnp.maximum(tr, 1e-12)
     i2 = 0.5 * (1.0 - jnp.sum(sh * sh.T))
-    return (i2 < thres) & (tr > 0.0)
+    return (i2 < thres) & (tr > 0.0), i2
 
 
 def _linearize(delta, in_soa, q, nq, wgt, ok, mean, inv_std):
@@ -475,6 +480,18 @@ def track(input_points, input_normals, model_points, model_normals,
             ii_pyr.append(resample_half(ii_pyr[-1]))
             mi_pyr.append(resample_half(mi_pyr[-1]))
 
+    # Report-only planarity probe over the valid finest-level input
+    # normals (the gate inside the loop uses correspondence weights; this
+    # unconditional probe tracks it closely and gives the frame loop /
+    # diagnostics an observable for WHY a frame was declared lost)
+    plan_i2 = jnp.float32(0.0)
+    if cfg.normal_aniso_thres > 0.0 and not use_rgbd:
+        soa0 = _soa(in_pyr[0][0]) + _soa(in_pyr[0][1])
+        valid0 = (jnp.isfinite(soa0[3]) & jnp.isfinite(soa0[4])
+                  & jnp.isfinite(soa0[5]))
+        _, plan_i2 = _planarity(soa0, valid0.astype(jnp.float32),
+                                cfg.normal_aniso_thres, reduce_sys)
+
     delta = jnp.eye(4, dtype=jnp.float32)
     lost = jnp.array(False)
     residual = jnp.float32(0.0)
@@ -512,8 +529,8 @@ def track(input_points, input_normals, model_points, model_normals,
             # textured wall loses geometrically, so the planarity gate
             # applies to the depth-only tracker only
             if cfg.normal_aniso_thres > 0.0 and not use_rgbd:
-                planar = _planarity(in_soa, wgt, cfg.normal_aniso_thres,
-                                    reduce_sys)
+                planar, _ = _planarity(in_soa, wgt, cfg.normal_aniso_thres,
+                                       reduce_sys)
             else:
                 planar = jnp.array(False)
             # Inner iterations: re-linearise + solve against the fixed
@@ -607,4 +624,5 @@ def track(input_points, input_normals, model_points, model_normals,
     return TrackingResult(pose=pose_out, valid=valid, residual=residual,
                           corr_count=corr, condition=condition,
                           level_stats=jnp.stack(level_stats),
-                          iter_residuals=jnp.stack(curves))
+                          iter_residuals=jnp.stack(curves),
+                          planarity=plan_i2)
