@@ -279,7 +279,12 @@ def main():
             init = gt_pose if gt_pose is not None else np.eye(4)
             state = engine.create(cfg, initial_pose=init)
             if args.load_map:
-                m, _ = streaming_mod.load_map(args.load_map, cfg.map)
+                # with streaming: the checkpoint loads into the HOST chunk
+                # store (reference load-then-stream-in semantics) so
+                # checkpoints larger than the pool resume fine; the sphere
+                # streams blocks in as the camera reaches them
+                m, _ = streaming_mod.load_map(args.load_map, cfg.map,
+                                              manager=mgr)
                 state = state._replace(map=m)
         timing.frame_start()
         a = (state, jnp.asarray(np.nan_to_num(d, nan=0.0)),

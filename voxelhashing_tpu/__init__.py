@@ -22,8 +22,10 @@ from .config import (CameraConfig, EngineConfig, MapConfig,  # noqa: F401
 # voxelhashing_tpu` light; the canonical entry points are:
 #   engine.make_step / engine.create        per-frame reconstruction
 #   blockmap / integrate / raycast / tracking   pipeline stages
-#   meshing.extract_mesh / save_ply         surface extraction
-#   streaming.StreamingManager / save_map / load_map
+#   meshing.extract_mesh / extract_mesh_streamed / save_ply
+#   streaming.StreamingManager / AsyncStreamingManager / save_map / load_map
+#     (whole-map meshing + checkpoints compose device + host tiers when a
+#      manager is passed; stream_in_all inverts stream_out_all)
 #   posegraph.PoseGraph                     loop closure + optimization
 #   parallel.sharded.make_sharded_step      multi-device map sharding
 #   evaluation.ate_rmse / rpe_rmse          trajectory metrics
