@@ -378,10 +378,9 @@ def extract_mesh_streamed(state: MapState, cfg: MapConfig,
         return hk, hs, hw, hc
 
     # one scratch-map shape for all chunks (single jit set): capacity =
-    # next pow2 of the largest neighborhood
+    # next pow2 of the largest neighborhood (counted, not copied)
     max_neigh = max(
-        len(store.peek_chunks(np.asarray(cc, np.int32)[None, :]
-                              + offsets)[0])
+        store.peek_count(np.asarray(cc, np.int32)[None, :] + offsets)
         + sum(len(dev_rows.get(tuple((np.asarray(cc) + o).tolist()), []))
               for o in offsets)
         for cc in all_cc)
