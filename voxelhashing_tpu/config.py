@@ -12,9 +12,8 @@ theirs.
 from __future__ import annotations
 
 import dataclasses
-import math
 import re
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 # Fixed structural constants (the reference pound-defines these:
 # VoxelUtilHashSDF.h:40-41). Block size stays 8 -- 512 voxels per block maps

@@ -18,12 +18,12 @@ through :func:`step`; nothing is mutated host-side.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from .config import EngineConfig, CameraConfig
+from .config import EngineConfig
 from . import blockmap, geometry as geom, integrate as integ, raycast, tracking
 from .blockmap import MapState
 from .ops.image import preprocess, FrameInputs

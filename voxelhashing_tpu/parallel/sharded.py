@@ -27,7 +27,6 @@ All collectives ride the mesh axis ("d"), i.e. ICI on a real slice.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import NamedTuple, Tuple
 
 import jax
