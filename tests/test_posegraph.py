@@ -199,3 +199,65 @@ class TestDistributedOptimize:
                       for k in range(len(gt)))
         assert err_gt < 0.01, err_gt
         assert err_ref < 1e-4, err_ref
+
+
+class TestReintegrate:
+    def test_reintegrate_matches_direct_gt_map(self):
+        """Trajectory-consistent re-integration (the capability loop
+        closure exists to enable): rebuilding a map from stored frames
+        under CORRECTED poses must equal integrating directly under those
+        poses — and differ from the drifted map."""
+        from voxelhashing_tpu import blockmap, integrate
+        from voxelhashing_tpu.config import MapConfig
+        from voxelhashing_tpu.io.synthetic import make_trajectory
+
+        mcfg = MapConfig(voxel_size=0.02, truncation=0.06,
+                         truncation_scale=0.01, num_blocks=8192,
+                         table_size=32768, max_active_blocks=8192)
+        gt = [np.asarray(p) for p in make_trajectory(4)]
+        drift = [p.copy() for p in gt]
+        for i, p in enumerate(drift):      # accumulating drift
+            p[0, 3] += 0.01 * i
+        frames = [render_depth(p, CAM, SCENE) for p in gt]
+
+        def make_state():
+            return blockmap.create(mcfg)
+
+        def integrate_fn(state, d, c, pose):
+            d = jnp.asarray(np.nan_to_num(d, nan=0.0))
+            c = jnp.asarray(c)
+            pose = jnp.asarray(pose, jnp.float32)
+            state, _ = integrate.allocate_from_depth(state, d, pose, CAM,
+                                                     mcfg)
+            return integrate.integrate(state, d, c, pose, CAM, mcfg)
+
+        def build(poses):
+            s = make_state()
+            for (d, c), p in zip(frames, poses):
+                s = integrate_fn(s, d, c, p)
+            return s
+
+        direct = build(gt)
+        rebuilt = posegraph.reintegrate(frames, gt, None, make_state,
+                                        integrate_fn)
+        k_direct = np.sort(np.asarray(direct.block_key))
+        k_re = np.sort(np.asarray(rebuilt.block_key))
+        np.testing.assert_array_equal(k_direct, k_re)
+        # payloads identical up to pool-row permutation: compare by key
+        def rows_by_key(s):
+            from voxelhashing_tpu.geometry import INVALID_KEY
+            keys = np.asarray(s.block_key)
+            ok = keys != INVALID_KEY
+            order = np.argsort(keys[ok])
+            return (keys[ok][order],
+                    np.asarray(s.sdf, np.float32)[ok][order],
+                    np.asarray(s.weight, np.float32)[ok][order])
+        ka, sa, wa = rows_by_key(direct)
+        kb, sb, wb = rows_by_key(rebuilt)
+        np.testing.assert_array_equal(ka, kb)
+        np.testing.assert_array_equal(sa, sb)
+        np.testing.assert_array_equal(wa, wb)
+        # and the drifted map differs (the correction mattered)
+        drifted = build(drift)
+        kd = np.sort(np.asarray(drifted.block_key))
+        assert not np.array_equal(k_direct, kd)
