@@ -78,3 +78,53 @@ class TestMemoryReport:
         state = blockmap.create(CFG)
         m = diagnostics.memory_report(state, CFG)
         assert m["pool_mb"] > 0 and m["blocks_capacity"] == CFG.num_blocks
+
+
+class TestEvaluationMetrics:
+    def test_rpe_zero_on_identical(self):
+        import numpy as np
+        from voxelhashing_tpu import evaluation
+        from voxelhashing_tpu.io.synthetic import make_trajectory
+        poses = [np.asarray(p) for p in make_trajectory(6)]
+        t, r = evaluation.rpe_rmse(poses, poses)
+        assert t < 1e-7 and r < 1e-6
+
+    def test_rpe_measures_relative_offset(self):
+        """A constant per-step translation slip of d shows up as RPE
+        trans ~= d; a global offset does NOT (relative metric)."""
+        import numpy as np
+        from voxelhashing_tpu import evaluation
+        gt = []
+        for i in range(6):
+            p = np.eye(4)
+            p[0, 3] = 0.1 * i
+            gt.append(p)
+        est = [p.copy() for p in gt]
+        for i, p in enumerate(est):
+            p[0, 3] += 0.002 * i          # accumulating slip: 2 mm/frame
+        t, r = evaluation.rpe_rmse(est, gt)
+        assert abs(t - 0.002) < 1e-9
+        assert r < 1e-6
+        # global offset: ATE sees it (unaligned), RPE does not
+        off = [p.copy() for p in gt]
+        for p in off:
+            p[1, 3] += 0.5
+        t2, _ = evaluation.rpe_rmse(off, gt)
+        assert t2 < 1e-9
+        assert evaluation.ate_rmse(off, gt, align=False) > 0.4
+
+    def test_erode_depth_kills_outliers_keeps_interior(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from voxelhashing_tpu.ops.image import erode_depth
+        d = np.full((20, 20), 2.0, np.float32)
+        d[10, 10] = 3.0                   # isolated depth outlier
+        out = np.asarray(erode_depth(jnp.asarray(d)))
+        assert not np.isfinite(out[10, 10])        # outlier invalidated
+        assert np.isfinite(out[5, 5])              # smooth interior kept
+        # pixels at an invalid border die too (frac_req violated)
+        d2 = np.full((20, 20), 2.0, np.float32)
+        d2[:, 10:] = np.nan
+        out2 = np.asarray(erode_depth(jnp.asarray(d2)))
+        assert not np.isfinite(out2[5, 10])
+        assert np.isfinite(out2[5, 2])
